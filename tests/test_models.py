@@ -1,0 +1,130 @@
+"""Shape/contract tests for the model zoo, mirroring the reference's
+__main__ smoke blocks (`backbones/msml.py:177-227`, `unet.py:282-309`,
+`fmoperator.py:328-377`, `lightcnn.py:310-360`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msml_tpu.core.precision import FULL_PRECISION
+from msml_tpu.nn.fm import FMCnn
+from msml_tpu.nn.msml import MSML
+from msml_tpu.nn.unet import Unet
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_unet_output_shapes_112():
+    """unet.py:284-295: rgb-112 -> seg0..3 at 7/14/28/56 (18ch), seg5 at
+    112 (2ch)."""
+    osb = Unet(input_size=112, policy=FULL_PRECISION)
+    x = jnp.zeros((1, 112, 112, 3))
+    variables = osb.init(KEY, x, train=False)
+    segs = osb.apply(variables, x, train=False)
+    assert [s.shape for s in segs] == [
+        (1, 7, 7, 18), (1, 14, 14, 18), (1, 28, 28, 18), (1, 56, 56, 18),
+        (1, 112, 112, 2)]
+
+
+def test_unet_output_shapes_128():
+    """unet.py:297-305: gray-128 -> 8/16/32/64 + 128."""
+    osb = Unet(input_size=128, policy=FULL_PRECISION)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = osb.init(KEY, x, train=False)
+    segs = osb.apply(variables, x, train=False)
+    assert [s.shape for s in segs] == [
+        (1, 8, 8, 18), (1, 16, 16, 18), (1, 32, 32, 18), (1, 64, 64, 18),
+        (1, 128, 128, 2)]
+
+
+@pytest.mark.parametrize("h,cf", [(56, 64), (28, 128), (14, 256), (7, 512)])
+def test_fm_shapes(h, cf):
+    """fmoperator.py:350-371: output matches yf shape at every stage."""
+    fm = FMCnn(channel_f=cf, policy=FULL_PRECISION)
+    yf = jax.random.normal(KEY, (1, h, h, cf))
+    yo = jax.random.normal(KEY, (1, h, h, 18))
+    variables = fm.init(KEY, yf, yo)
+    z, kd = fm.apply(variables, yf, yo)
+    assert z.shape == yf.shape
+    assert kd is None
+
+
+def _msml(frb, header, **kw):
+    return MSML(frb_type=frb, num_classes=200, header_type=header,
+                header_params=(64.0, 0.4, 0.0, 0.0), policy=FULL_PRECISION,
+                **kw)
+
+
+def test_msml_iresnet_contract():
+    """msml.py:186-205: iresnet-rgb-112 eval -> (feature 512, seg 112x112x2);
+    train -> (logits, seg, kd)."""
+    model = _msml("iresnet18", "AMArcFace", use_ori=True, use_conv=True)
+    x = jax.random.normal(KEY, (2, 112, 112, 3))
+    label = jnp.array([1, 2], jnp.int32)
+    variables = model.init({"params": KEY, "dropout": KEY}, x, label, x,
+                           train=True)
+    feat, seg = model.apply(variables, x, train=False)
+    assert feat.shape == (2, 512) and seg.shape == (2, 112, 112, 2)
+    (cls, seg, kd), _ = model.apply(
+        variables, x, label, x, train=True, rngs={"dropout": KEY},
+        mutable=["batch_stats"])
+    assert cls.shape == (2, 200)
+    assert np.isfinite(float(kd)) and float(kd) > 0
+
+
+def test_msml_lightcnn_contract():
+    """msml.py:207-223: lightcnn-gray-128 -> feature 256, seg 128x128x2."""
+    model = _msml("lightcnn", "Softmax")
+    x = jax.random.normal(KEY, (2, 128, 128, 1))
+    label = jnp.array([1, 2], jnp.int32)
+    variables = model.init({"params": KEY, "dropout": KEY}, x, label,
+                           train=True)
+    feat, seg = model.apply(variables, x, train=False)
+    assert feat.shape == (2, 256) and seg.shape == (2, 128, 128, 2)
+
+
+def test_msml_no_osb():
+    """use_osb=False: segs None, eval seg None (msml.py:159-161)."""
+    model = _msml("iresnet18", "AMCosFace", use_osb=False,
+                  fm_layers=(0, 0, 0, 0))
+    x = jax.random.normal(KEY, (1, 112, 112, 3))
+    variables = model.init({"params": KEY, "dropout": KEY}, x,
+                           jnp.zeros((1,), jnp.int32), train=True)
+    feat, seg = model.apply(variables, x, train=False)
+    assert feat.shape == (1, 512) and seg is None
+
+
+def test_dap_equals_pixelshuffle_avgpool():
+    """nn/common.dap == torch PixelShuffle(3)+AvgPool2d(3) (unet.py:158-161)."""
+    torch = pytest.importorskip("torch")
+    from msml_tpu.nn.common import dap
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 8, 18).astype(np.float32)
+    got = np.asarray(dap(jnp.asarray(x), num_classes=2, k=3))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = torch.nn.AvgPool2d((3, 3))(torch.nn.PixelShuffle(3)(xt))
+    want = want.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_conv_transpose_matches_torch():
+    """ConvTranspose2d parity incl. the k=3 deconv1 case (unet.py:141-148)."""
+    torch = pytest.importorskip("torch")
+    from msml_tpu.nn.common import ConvTranspose2d
+
+    rng = np.random.RandomState(0)
+    for k, s, p, hin in [(4, 2, 1, 4), (3, 2, 1, 4), (4, 2, 1, 56)]:
+        x = rng.randn(1, hin, hin, 8).astype(np.float32)
+        w = rng.randn(k, k, 5, 8).astype(np.float32)  # (kh, kw, out, in)
+        mod = ConvTranspose2d(5, k, s, p)
+        variables = {"params": {"kernel": jnp.asarray(w)}}
+        got = np.asarray(mod.apply(variables, jnp.asarray(x)))
+        # torch weight layout (in, out, kh, kw)
+        wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = torch.nn.functional.conv_transpose2d(
+            xt, wt, stride=s, padding=p).numpy().transpose(0, 2, 3, 1)
+        assert got.shape == want.shape, (k, s, p, hin)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
