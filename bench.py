@@ -1,0 +1,95 @@
+"""Training-throughput benchmark for the flagship arc18_msml config.
+
+Measures images/sec/chip of the full MSML training step (FRB iresnet18 + OSB
+U-Net + 4 FM ops + AMArcFace head + consensus seg loss, bf16 compute) on the
+available TPU chip(s) with synthetic data (isolates device throughput; the
+host pipeline is benchmarked separately).
+
+Baseline: the reference publishes no numbers (BASELINE.md). The north star is
+>2x an A100 running the PyTorch reference. A100_EST_IPS below is an estimate
+of the reference's A100 AMP throughput for this config (~13.5 GFLOPs/img
+train cost at realistic conv utilization); vs_baseline = measured / (2 *
+A100_EST_IPS), so vs_baseline >= 1.0 means the target is met.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+A100_EST_IPS = 1500.0  # estimated reference PyTorch AMP img/s on one A100
+TARGET_IPS = 2.0 * A100_EST_IPS
+
+BATCH_PER_CHIP = 128
+WARMUP_STEPS = 5   # covers initial compile + the donation-aliasing recompile
+MEASURE_STEPS = 20
+
+
+def main():
+    from jax.sharding import Mesh
+    from msml_tpu.core.config import Config, config_init
+    from msml_tpu.core.precision import DEFAULT_POLICY
+    from msml_tpu.data.synthetic import synthetic_batch
+    from msml_tpu.nn.msml import msml_from_config
+    from msml_tpu.train import optim
+    from msml_tpu.train.train_step import init_train_state, make_train_step
+
+    devices = jax.devices()
+    n = len(devices)
+    mesh = Mesh(np.array(devices), ("data",))
+
+    cfg = Config.from_dict({
+        "dataset": "synthetic", "fp16": True, "batch_size": BATCH_PER_CHIP,
+        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
+        "fm_layers": [1, 1, 1, 1], "fm_params": [3, 2, "sigmoid", "mul"],
+        "peer_params": {"use_ori": False, "use_conv": False,
+                        "mask_trans": "conv", "use_decoder": False},
+        "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0.0, 0.0],
+        "exp_id": 0, "output_prefix": "bench", "num_classes": 10572,
+        "out_folder": "/tmp/msml_bench_out",
+    })
+    config_init(cfg)
+
+    model = msml_from_config(cfg, policy=DEFAULT_POLICY)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh)
+    lr_scales = optim.build_lr_scales(state.params, cfg, n)
+    step = make_train_step(model, cfg, mesh, lr_scales)
+
+    global_batch = BATCH_PER_CHIP * n
+    batch = synthetic_batch(global_batch, size=112,
+                            num_classes=cfg.num_classes)
+    del batch["ori"]
+    batch = jax.device_put(batch)
+
+    # NOTE: through the axon TPU relay, block_until_ready can return before
+    # remote execution finishes; an explicit device_get is the only reliable
+    # fence (the step chain serializes through the donated state, so fencing
+    # the final metrics fences the whole chain).
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, batch, 1.0, rng)
+    float(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = step(state, batch, 1.0, rng)
+    float(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    ips = MEASURE_STEPS * global_batch / dt
+    ips_chip = ips / n
+    print(json.dumps({
+        "metric": "arc18_msml_train_images_per_sec_per_chip",
+        "value": round(ips_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips_chip / TARGET_IPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Evaluation entry point (the reference `test.py` -> `eval/qeval_mxnet.py`).
+
+Usage (reference README.md:39-43 analogue):
+    python -m msml_tpu.cli.test --network msml --weight_folder out/arc18_1 \
+        --dataset lfw --fill_type black [--no-occ]
+
+Loads `config.yaml` from the weight folder (the self-describing-weights
+contract, qeval_mxnet.py:515-517), restores the latest checkpoint, loads
+`{rec}/{dataset}.bin`, and runs the occlusion sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def main(args):
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from msml_tpu.core import checkpoint as ckpt
+    from msml_tpu.core.config import config_init, load_yaml
+    from msml_tpu.core.mesh import make_mesh
+    from msml_tpu.core.precision import policy_from_config
+    from msml_tpu.data.bin_loader import load_bin_pil
+    from msml_tpu.eval.occ_sweep import occlusion_sweep
+    from msml_tpu.nn.msml import msml_from_config
+    from msml_tpu.train.train_step import init_train_state, make_eval_step
+
+    np.random.seed(0)
+    cfg = load_yaml(os.path.join(args.weight_folder, "config.yaml"))
+    cfg.out_folder = os.path.dirname(args.weight_folder.rstrip("/")) or "out"
+    config_init(cfg, make_output_dir=False)
+
+    mesh = make_mesh()
+    policy = policy_from_config(bool(cfg.get("fp16", True)))
+    model = msml_from_config(cfg, policy=policy)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh)
+    restored = ckpt.restore_checkpoint(args.weight_folder, state)
+    if restored is None:
+        raise FileNotFoundError(
+            f"no checkpoint under {args.weight_folder}/ckpt")
+    state = restored
+    eval_step = make_eval_step(model, mesh)
+
+    def extract_fn(img_np):
+        return eval_step(state.params, state.batch_stats,
+                         img_np.astype(np.float32))
+
+    bin_path = args.bin or os.path.join(cfg.rec, args.dataset + ".bin")
+    imgs, issame = load_bin_pil(bin_path)
+    results = occlusion_sweep(
+        imgs, issame, extract_fn, out_size=tuple(cfg.out_size),
+        fill_type=args.fill_type, batch_size=args.batch_size,
+        use_norm=bool(cfg.get("use_norm", True)),
+        is_gray=bool(cfg.get("is_gray", False)), no_occ=args.no_occ,
+        dim_feature=cfg.dim_feature)
+
+    print("[protocol]: BB [fill_type]", args.fill_type)
+    for row in results:
+        print("[%d ~ %d] | [avg_acc]: %.4f" % (row["lo"], row["hi"],
+                                               row["avg_acc"]))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="msml_tpu testing")
+    p.add_argument("--network", type=str, default="msml")
+    p.add_argument("--dataset", type=str, default="lfw",
+                   help="lfw, cfp_fp, agedb_30")
+    p.add_argument("--weight_folder", type=str, required=True)
+    p.add_argument("--fill_type", type=str, default="black",
+                   choices=["black", "white", "gauss"])
+    p.add_argument("--no-occ", action="store_true")
+    p.add_argument("--bin", type=str, default="",
+                   help="explicit path to the .bin pair file")
+    p.add_argument("--batch-size", type=int, default=25)
+    p.add_argument("--out-json", type=str, default="")
+    p.add_argument("--platform", type=str, default="")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

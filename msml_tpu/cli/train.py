@@ -1,0 +1,165 @@
+"""Training entry point.
+
+Parity target: `train.py:29-380` — config init, dataset, MSML, optimizer with
+LR groups, LambdaLR epoch schedule, grad clip 5, per-epoch checkpoints,
+periodic throughput logging and verification, `--resume`.
+
+Usage (reference `README.md:33-49` analogue — no torch.distributed.launch;
+SPMD covers all local chips automatically):
+    python -m msml_tpu.cli.train --config config.yaml [--resume] [--occ 1]
+    python -m msml_tpu.cli.train --config config.yaml --steps 20   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import time
+
+import jax
+import numpy as np
+
+from msml_tpu.core import checkpoint as ckpt
+from msml_tpu.core.config import (Config, config_init, default_config,
+                                  load_yaml, lr_step_factor)
+from msml_tpu.core.logging import AverageMeter, ThroughputLogger, init_logging
+from msml_tpu.core.mesh import make_mesh
+from msml_tpu.core.precision import policy_from_config
+from msml_tpu.data.pipeline import device_prefetch
+from msml_tpu.data.synthetic import SyntheticDataset
+from msml_tpu.heads.margin import get_margin_fn
+from msml_tpu.heads.partial_fc import PartialFC
+from msml_tpu.nn.msml import msml_from_config
+from msml_tpu.train import optim
+from msml_tpu.train.train_step import init_train_state, make_train_step
+
+
+def build_dataset(cfg, args, world: int):
+    if cfg.dataset == "synthetic" or not cfg.rec:
+        return SyntheticDataset(
+            batch_size=cfg.batch_size * world,
+            steps_per_epoch=args.steps or 100,
+            size=cfg.out_size[0], channels=1 if cfg.is_gray else 3,
+            num_classes=cfg.num_classes)
+    from msml_tpu.data.face_dataset import FaceByRandOccMask
+    return FaceByRandOccMask(
+        root_dir=cfg.rec, batch_size=cfg.batch_size * world,
+        out_size=cfg.out_size, use_norm=cfg.use_norm, is_gray=cfg.is_gray,
+        use_ori=bool(cfg.peer_params.get("use_ori")), occ=bool(args.occ))
+
+
+def main(args):
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.cpu_devices > 1:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.cpu_devices}"
+            ).strip()
+    # seeds (reference train.py:31-42)
+    np.random.seed(1)
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.config and os.path.exists(args.config):
+        cfg = load_yaml(args.config)
+    else:
+        cfg = default_config()
+        cfg.dataset = "synthetic"
+    config_init(cfg)
+    if args.config and os.path.exists(args.config):
+        shutil.copy(args.config, os.path.join(cfg.output, "config.yaml"))
+
+    logger = init_logging(cfg.output)
+    mesh = make_mesh()
+    world = mesh.shape["data"]
+    logger.info("mesh: %d devices (%s); config: %s"
+                % (world, jax.devices()[0].platform, dict(cfg)))
+
+    use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
+        cfg.get("use_partial_fc", False))
+    policy = policy_from_config(bool(cfg.get("fp16", True)))
+    model = msml_from_config(cfg, policy=policy, external_header=use_pfc)
+    pfc = None
+    if use_pfc:
+        pfc = PartialFC(num_classes=cfg.num_classes,
+                        embedding_size=cfg.dim_feature,
+                        sample_rate=float(cfg.sample_rate),
+                        margin_fn=get_margin_fn(cfg.header_type,
+                                                cfg.header_params))
+
+    state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
+    lr_scales = optim.build_lr_scales(state.params, cfg, world)
+    step_fn = make_train_step(model, cfg, mesh, lr_scales, pfc)
+
+    start_epoch = 0
+    if args.resume:
+        restored = ckpt.restore_checkpoint(cfg.output, state)
+        if restored is not None:
+            state = restored
+            logger.info("backbone resume successfully! step=%d"
+                        % int(state.step))
+        else:
+            logger.info("resume fail, backbone init successfully!")
+
+    trainset = build_dataset(cfg, args, world)
+    steps_per_epoch = len(trainset) // (cfg.batch_size * world)
+    total_step = steps_per_epoch * cfg.num_epoch
+    if args.steps:
+        total_step = min(total_step, args.steps)
+    logger.info("Total Step is: %d" % total_step)
+
+    loss_meter = AverageMeter()
+    tlog = ThroughputLogger(args.log_every, total_step,
+                            cfg.batch_size * world, world, logger)
+
+    global_step = int(state.step)
+    start_epoch = global_step // max(steps_per_epoch, 1)
+    done = False
+    for epoch in range(start_epoch, cfg.num_epoch):
+        lr_factor = lr_step_factor(cfg, epoch)
+        for batch in device_prefetch(trainset.epoch(epoch), mesh):
+            state, metrics = step_fn(state, batch, lr_factor, rng)
+            global_step += 1
+            loss_meter.update(float(metrics["total_loss"]))
+            tlog(global_step, loss_meter, epoch,
+                 extra="lr_factor %.4f" % lr_factor)
+            if global_step % 100 == 0:
+                logger.info(
+                    "[exp_%s] seg_loss=%.4f, cls_loss=%.4f, kd_loss=%.4f, "
+                    "grad_norm=%.3f" % (
+                        cfg.exp_id, float(metrics["seg_loss"]),
+                        float(metrics["cls_loss"]), float(metrics["kd"]),
+                        float(metrics["grad_norm"])))
+            if args.steps and global_step >= args.steps:
+                done = True
+                break
+        ckpt.save_checkpoint(cfg.output, state, global_step,
+                             extra={"epoch": epoch})
+        logger.info("checkpoint saved at step %d (epoch %d)"
+                    % (global_step, epoch))
+        if done:
+            break
+    logger.info("training finished at step %d" % global_step)
+    return state
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="msml_tpu training")
+    p.add_argument("--config", type=str, default="config.yaml")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--occ", type=int, default=1,
+                   help="use occlusion augmentation (train.py:378)")
+    p.add_argument("--steps", type=int, default=0,
+                   help="stop after N steps (smoke runs)")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--platform", type=str, default="",
+                   help="override jax platform (e.g. cpu for smoke runs)")
+    p.add_argument("--cpu-devices", type=int, default=8,
+                   help="virtual device count when --platform cpu")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -1,0 +1,63 @@
+"""Orbax checkpointing of the full train state.
+
+Improves on the reference's crash-unsafe per-epoch `backbone.pth`
+(`utils/utils_callbacks.py:100-116`, `train.py:121-128`): we persist params,
+batch stats, optimizer momentum, the PartialFC shard (the reference's
+`rank:{r}_softmax_weight.pt`, `headers/partial_fc.py:38-59`), the step counter
+and epoch — so resume is exact, not whole-epoch-granular. The weight folder
+keeps the reference's self-describing contract: `config.yaml` is copied next
+to the checkpoints (`train.py:71-72`) and evaluation loads it from there
+(`eval/qeval_mxnet.py:515-517`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _manager(output_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    path = os.path.abspath(os.path.join(output_dir, "ckpt"))
+    return ocp.CheckpointManager(
+        path, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                   create=True))
+
+
+def save_checkpoint(output_dir: str, state: Any, step: int,
+                    extra: Optional[dict] = None) -> None:
+    """`extra` is accepted for API stability but not persisted: the payload
+    must structurally match the restore template (epoch etc. derive from
+    state.step)."""
+    del extra
+    mngr = _manager(output_dir)
+    mngr.save(step, args=ocp.args.StandardSave({"state": state}))
+    mngr.wait_until_finished()
+    mngr.close()
+
+
+def latest_step(output_dir: str) -> Optional[int]:
+    path = os.path.abspath(os.path.join(output_dir, "ckpt"))
+    if not os.path.isdir(path):
+        return None
+    mngr = ocp.CheckpointManager(path)
+    step = mngr.latest_step()
+    mngr.close()
+    return step
+
+
+def restore_checkpoint(output_dir: str, state_template: Any,
+                       step: Optional[int] = None) -> Any:
+    """Restore into the (possibly sharded) template's structure/shardings."""
+    mngr = _manager(output_dir)
+    if step is None:
+        step = mngr.latest_step()
+    if step is None:
+        mngr.close()
+        return None
+    restored = mngr.restore(
+        step, args=ocp.args.StandardRestore({"state": state_template}))
+    mngr.close()
+    return restored["state"]

@@ -1,0 +1,87 @@
+"""Training observability: throughput logger + file/stdout logging.
+
+Parity targets:
+  * `AverageMeter` — `utils/utils_logging.py:6-26`
+  * rank-0 file+stdout logging to `{output}/training.log` —
+    `utils/utils_logging.py:29-39`
+  * `CallBackLogging` — `utils/utils_callbacks.py:55-97`: every N steps log
+    samples/sec (global and per-chip), smoothed loss, epoch, ETA hours.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+
+class AverageMeter:
+    """utils/utils_logging.py:6-26."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+def init_logging(output_dir: str, name: str = "msml_tpu") -> logging.Logger:
+    """File + stdout logging (utils/utils_logging.py:29-39)."""
+    os.makedirs(output_dir, exist_ok=True)
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s-%(message)s")
+    fh = logging.FileHandler(os.path.join(output_dir, "training.log"))
+    sh = logging.StreamHandler(sys.stdout)
+    fh.setFormatter(fmt)
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    return logger
+
+
+class ThroughputLogger:
+    """CallBackLogging parity (utils/utils_callbacks.py:55-97)."""
+
+    def __init__(self, frequency: int, total_step: int, global_batch: int,
+                 num_chips: int, logger: logging.Logger):
+        self.frequency = frequency
+        self.total_step = total_step
+        self.global_batch = global_batch
+        self.num_chips = max(num_chips, 1)
+        self.logger = logger
+        self.time_start = time.time()
+        self.tic = None
+        self.init = False
+
+    def __call__(self, global_step: int, loss: AverageMeter, epoch: int,
+                 extra: str = ""):
+        if global_step <= 0 or global_step % self.frequency != 0:
+            return
+        if not self.init:
+            self.init = True
+            self.tic = time.time()
+            return
+        speed = self.frequency * self.global_batch / (time.time() - self.tic)
+        time_now = (time.time() - self.time_start) / 3600
+        time_total = time_now / (global_step / max(self.total_step, 1))
+        eta = time_total - time_now
+        self.logger.info(
+            "Speed %.2f samples/sec (%.2f img/s/chip) Loss %.4f Epoch: %d "
+            "Global Step: %d Required: %.1f hours %s"
+            % (speed, speed / self.num_chips, loss.avg, epoch, global_step,
+               eta, extra))
+        loss.reset()
+        self.tic = time.time()

@@ -1,0 +1,47 @@
+"""Synthetic batch generator for smoke tests and throughput benchmarking.
+
+Produces batches with the exact contract of the real pipeline
+(`datasets/load_dataset.py:101-139`): img (occluded, normalized), msk (binary
+occlusion map), ori (clean image for KD), label.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synthetic_batch(batch_size: int, size: int = 112, channels: int = 3,
+                    num_classes: int = 1000, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    img = rng.randn(batch_size, size, size, channels).astype(np.float32)
+    ori = rng.randn(batch_size, size, size, channels).astype(np.float32)
+    msk = np.zeros((batch_size, size, size), np.int32)
+    for i in range(batch_size):
+        if rng.rand() < 0.8:  # most samples occluded, like training
+            h0, w0 = rng.randint(0, size // 2, 2)
+            hh, ww = rng.randint(size // 8, size // 2, 2)
+            msk[i, h0:h0 + hh, w0:w0 + ww] = 1
+    label = rng.randint(0, num_classes, batch_size).astype(np.int32)
+    return {"img": img, "msk": msk, "ori": ori, "label": label}
+
+
+class SyntheticDataset:
+    """Iterable synthetic dataset with a fixed number of steps per epoch."""
+
+    def __init__(self, batch_size: int, steps_per_epoch: int = 100,
+                 size: int = 112, channels: int = 3, num_classes: int = 1000,
+                 seed: int = 0):
+        self.batch_size = batch_size
+        self.steps_per_epoch = steps_per_epoch
+        self.size, self.channels = size, channels
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.steps_per_epoch * self.batch_size
+
+    def epoch(self, epoch: int):
+        for i in range(self.steps_per_epoch):
+            yield synthetic_batch(self.batch_size, self.size, self.channels,
+                                  self.num_classes,
+                                  seed=self.seed + epoch * 100003 + i)

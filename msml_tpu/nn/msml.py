@@ -66,6 +66,11 @@ class MSML(nn.Module):
 
     def setup(self):
         assert len(self.fm_layers) == 4
+        if not self.use_osb and any(self.fm_layers):
+            raise ValueError(
+                "fm_layers requires use_osb=True (FM operators consume OSB "
+                "segmentation features; the reference crashes on this "
+                "combination too, fmoperator.py:285)")
         input_size, gray, heights, f_channels, dim_feature = frb_shapes(
             self.frb_type)
         self.input_size, self.gray = input_size, gray

@@ -1,0 +1,226 @@
+"""The SPMD training step.
+
+Maps the reference hot loop (`train.py:240-328`) onto a single
+`jax.shard_map`'d, jitted function over a 1-D device mesh:
+
+  reference (DDP/NCCL)                       here (ICI collectives)
+  -----------------------------------------  ------------------------------
+  DistributedSampler batch split             batch sharded P("data")
+  DDP gradient all-reduce (backward hook)    lax.psum of backbone grads
+  per-rank BatchNorm (broadcast_buffers=F)   local BN stats in shard_map,
+                                             pmean'd once per step
+  AMP + MaxClipGradScaler                    bf16 compute policy (no scaler
+                                             needed on TPU)
+  clip_grad_norm_(5)                         clip_by_global_norm on the
+                                             psum'd (true) grads
+  PartialFC manual fwd/bwd + NCCL            heads/partial_fc.py inside the
+                                             same shard_map
+
+Loss composition (`train.py:252-264`): total = CE(final_cls, label)
++ lambda1 * consensus(final_seg, msk), where final_cls already carries the
+reference's "+ kd" constant-logit-shift quirk (see nn/msml.py). All loss
+terms are *global* batch means via psum, so per-shard grads sum to the true
+gradient of the global mean (the DDP-mean equivalence).
+
+Batch-size convention matches the reference yaml: cfg.batch_size is
+*per-chip* (per-rank); the LR scaling uses batch_size * world like
+`train.py:158-177`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from msml_tpu.core.mesh import DATA_AXIS
+from msml_tpu.heads.partial_fc import PartialFC, init_pfc_weight
+from msml_tpu.losses import structure_consensus_loss
+from msml_tpu.train import optim
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    momentum: Any
+    pfc_weight: Optional[jnp.ndarray] = None
+    pfc_momentum: Optional[jnp.ndarray] = None
+
+
+def init_train_state(model, cfg, rng, mesh: Mesh,
+                     use_pfc: bool = False) -> TrainState:
+    """Initialise params on host then shard: everything replicated except the
+    PartialFC class-sharded weight."""
+    h = w = 128 if cfg.is_gray else 112
+    c = 1 if cfg.is_gray else 3
+    x = jnp.zeros((2, h, w, c), jnp.float32)
+    label = jnp.zeros((2,), jnp.int32)
+    ori = x if cfg.peer_params.get("use_ori") else None
+    variables = model.init({"params": rng, "dropout": rng}, x, label, ori,
+                           train=True)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    batch_stats = jax.device_put(batch_stats, repl)
+    momentum = jax.device_put(optim.init_momentum(params), repl)
+
+    pfc_weight = pfc_momentum = None
+    if use_pfc:
+        world = mesh.shape[DATA_AXIS]
+        pfc_weight = init_pfc_weight(jax.random.fold_in(rng, 7),
+                                     cfg.num_classes, world, cfg.dim_feature)
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+        pfc_weight = jax.device_put(pfc_weight, shard)
+        pfc_momentum = jax.device_put(jnp.zeros_like(pfc_weight), shard)
+
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, momentum=momentum,
+                      pfc_weight=pfc_weight, pfc_momentum=pfc_momentum)
+
+
+def make_train_step(model, cfg, mesh: Mesh, lr_scales,
+                    pfc: Optional[PartialFC] = None):
+    """Build the jitted SPMD train step.
+
+    step(state, batch, lr_factor, rng) -> (state, metrics)
+      batch: dict with 'img', 'label' (+ 'msk' when use_osb, 'ori' when
+             use_ori) — leading dim = global batch, sharded over "data".
+      lr_factor: LambdaLR epoch factor (core.config.lr_step_factor).
+      lr_scales: pytree of python-float per-param LRs
+                 (optim.build_lr_scales), closed over as constants.
+    """
+    use_osb = bool(cfg.use_osb)
+    use_ori = bool(cfg.peer_params.get("use_ori"))
+    lambda1 = float(cfg.lambda1)
+    clip_norm = float(cfg.grad_clip_norm)
+    wd = float(cfg.weight_decay)
+    momentum_coef = float(cfg.momentum)
+    use_pfc = pfc is not None
+    world = mesh.shape[DATA_AXIS]
+    pfc_base_lr = cfg.lr / 512.0 * cfg.batch_size * world
+    axis = DATA_AXIS
+
+    def shard_body(state: TrainState, batch, lr_factor, rng):
+        my = lax.axis_index(axis)
+        step_rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), my)
+        img, label = batch["img"], batch["label"]
+        ori = batch["ori"] if use_ori else None
+        global_b = img.shape[0] * world
+
+        def loss_fn(params, pfc_weight):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outs, mutated = model.apply(
+                variables, img, None if use_pfc else label, ori,
+                train=True, rngs={"dropout": step_rng},
+                mutable=["batch_stats"])
+            head_out, final_seg, kd = outs
+
+            if use_pfc:
+                cls_loss, pfc_aux = pfc.loss(pfc_weight, head_out, label,
+                                             step_rng)
+                nll = pfc_aux["nll"]
+                sample_index = pfc_aux["sample_index"]
+            else:
+                logp = jax.nn.log_softmax(head_out.astype(jnp.float32), -1)
+                row_nll = -jnp.take_along_axis(logp, label[:, None], 1)[:, 0]
+                cls_loss = lax.psum(row_nll.sum(), axis) / global_b
+                nll = cls_loss
+                sample_index = None
+
+            if use_osb:
+                seg_local = structure_consensus_loss(final_seg, batch["msk"])
+                seg_loss = lax.pmean(seg_local, axis)
+            else:
+                seg_loss = jnp.float32(0.0)
+
+            total = cls_loss + lambda1 * seg_loss
+            kd = lax.pmean(jnp.asarray(kd, jnp.float32), axis)
+            aux_out = dict(batch_stats=mutated["batch_stats"], nll=nll,
+                           cls_loss=cls_loss, seg_loss=seg_loss, kd=kd,
+                           sample_index=sample_index)
+            return total, aux_out
+
+        if use_pfc:
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.pfc_weight)
+            bb_grads, pfc_grad = grads
+        else:
+            (total, aux), bb_grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, None)
+            pfc_grad = None
+
+        # DDP-equivalent: sum partial per-shard grads into the true gradient
+        bb_grads = lax.psum(bb_grads, axis)
+        bb_grads, gnorm = optim.clip_by_global_norm(bb_grads, clip_norm)
+
+        new_params, new_momentum = optim.sgd_update(
+            state.params, bb_grads, state.momentum, lr_scales, lr_factor,
+            wd, momentum_coef)
+
+        new_pfc_w, new_pfc_m = state.pfc_weight, state.pfc_momentum
+        if use_pfc:
+            new_pfc_w, new_pfc_m = optim.pfc_sgd_update(
+                state.pfc_weight, pfc_grad, state.pfc_momentum, pfc_base_lr,
+                lr_factor, wd, momentum_coef, aux["sample_index"])
+
+        # per-shard BN stats -> replicated running stats (documented
+        # deviation: the reference keeps per-rank buffers and checkpoints
+        # rank 0's; averaging is equivalent-or-better and keeps state SPMD)
+        new_bs = lax.pmean(aux["batch_stats"], axis)
+
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, momentum=new_momentum,
+                                  pfc_weight=new_pfc_w, pfc_momentum=new_pfc_m)
+        metrics = dict(total_loss=total, cls_loss=aux["cls_loss"],
+                       seg_loss=aux["seg_loss"], kd=aux["kd"],
+                       nll=aux["nll"], grad_norm=gnorm)
+        return new_state, metrics
+
+    def _state_spec(state: TrainState) -> TrainState:
+        return TrainState(
+            step=P(),
+            params=jax.tree.map(lambda _: P(), state.params),
+            batch_stats=jax.tree.map(lambda _: P(), state.batch_stats),
+            momentum=jax.tree.map(lambda _: P(), state.momentum),
+            pfc_weight=P(axis) if state.pfc_weight is not None else None,
+            pfc_momentum=P(axis) if state.pfc_momentum is not None else None)
+
+    _metric_keys = ("total_loss", "cls_loss", "seg_loss", "kd", "nll",
+                    "grad_norm")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, lr_factor, rng):
+        body = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(_state_spec(state),
+                      jax.tree.map(lambda _: P(axis), batch), P(), P()),
+            out_specs=(_state_spec(state),
+                       {k: P() for k in _metric_keys}))
+        return body(state, batch, lr_factor, rng)
+
+    def bound_step(state, batch, lr_factor, rng):
+        return step(state, batch, jnp.asarray(lr_factor, jnp.float32), rng)
+
+    return bound_step
+
+
+def make_eval_step(model, mesh: Mesh):
+    """Jitted feature extraction: (params, batch_stats, img) -> embeddings
+    (the eval contract of `msml.py:173-174`)."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, img):
+        feature, _ = model.apply({"params": params,
+                                  "batch_stats": batch_stats},
+                                 img, train=False)
+        return feature
+
+    return eval_step

@@ -13,6 +13,10 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the heavy model-graph compiles dominate suite
+# time; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/msml_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,113 @@
+"""FaceByRandOccMask end-to-end: tiny rec dataset + procedural occluders."""
+
+import os
+
+import numpy as np
+import pytest
+
+from msml_tpu.data.face_dataset import FaceByRandOccMask, gauss_map
+from msml_tpu.data.recordio import IRHeader, IndexedRecordIO, imencode, pack
+from msml_tpu.tools.make_occluders import main as make_occluders
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("casia_rec"))
+    occl = str(tmp_path_factory.mktemp("occluders"))
+    make_occluders(occl, num=2)
+    rng = np.random.RandomState(0)
+
+    def smooth(size=112):
+        from PIL import Image
+        small = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+        return np.asarray(Image.fromarray(small).resize((size, size)))
+
+    n, n_cls = 12, 3
+    rec = IndexedRecordIO(os.path.join(root, "train.idx"),
+                          os.path.join(root, "train.rec"), "w")
+    rec.write_idx(0, pack(IRHeader(2, [n + 1, n_cls], 1, 0), b""))
+    mo = IndexedRecordIO(os.path.join(root, "mask_out.idx"),
+                         os.path.join(root, "mask_out.rec"), "w")
+    mk = IndexedRecordIO(os.path.join(root, "mask.idx"),
+                         os.path.join(root, "mask.rec"), "w")
+    for i in range(1, n + 1):
+        img = smooth()
+        rec.write_idx(i, pack(IRHeader(0, float(i % n_cls), 0, 0),
+                              imencode(img)))
+        masked = img.copy()
+        masked[60:, :] = 30  # fake 3D mask on lower face
+        mo.write_idx(i, pack(IRHeader(0, float(i % n_cls), 0, 0),
+                             imencode(masked)))
+        m = np.full((112, 112, 3), 255, np.uint8)
+        m[60:, :] = 0
+        mk.write_idx(i, pack(IRHeader(0, 0.0, 0, 0), imencode(m)))
+    rec.close(), mo.close(), mk.close()
+    return root, occl
+
+
+def test_getitem_contract(tiny_dataset):
+    root, occl = tiny_dataset
+    ds = FaceByRandOccMask(root, out_size=(112, 112), use_norm=True,
+                           occluder_root=occl, batch_size=4, seed=0)
+    assert len(ds) == 12
+    r = np.random.RandomState(0)
+    img, msk, ori, label = ds.__getitem__(0, r)
+    assert img.shape == (112, 112, 3) and img.dtype == np.float32
+    assert msk.shape == (112, 112) and set(np.unique(msk)) <= {0, 1}
+    assert ori.shape == (112, 112, 3)
+    assert 0 <= int(label) < 3
+    assert img.min() >= -1.5 and img.max() <= 1.5
+
+
+def test_epoch_batches(tiny_dataset):
+    root, occl = tiny_dataset
+    ds = FaceByRandOccMask(root, out_size=(112, 112), use_norm=True,
+                           occluder_root=occl, batch_size=4, seed=0,
+                           num_workers=2)
+    batches = list(ds.epoch(0))
+    assert len(batches) == 3  # drop_last
+    b = batches[0]
+    assert b["img"].shape == (4, 112, 112, 3)
+    assert b["msk"].shape == (4, 112, 112)
+    assert b["ori"].shape == (4, 112, 112, 3)
+    assert b["label"].shape == (4,)
+    # determinism: same epoch twice -> identical batches
+    b2 = next(iter(ds.epoch(0)))
+    np.testing.assert_array_equal(b["img"], b2["img"])
+    # different epoch -> different
+    b3 = next(iter(ds.epoch(1)))
+    assert not np.array_equal(b["img"], b3["img"])
+
+
+def test_mask_branch_probability(tiny_dataset):
+    """P(3D mask) = 2/10 (load_dataset.py:113): with the mask recs present,
+    some samples must come from the mask branch (lower face black)."""
+    root, occl = tiny_dataset
+    ds = FaceByRandOccMask(root, out_size=(112, 112), use_norm=False,
+                           occluder_root=occl, seed=0)
+    n_mask = 0
+    for i in range(60):
+        r = np.random.RandomState(1000 + i)
+        img, msk, ori, label = ds.__getitem__(i % 12, r)
+        # mask branch: lower-face occluded in the GT mask
+        if msk[80:, :].mean() < 0.1 and msk[:40, :].mean() > 0.9:
+            n_mask += 1
+    assert 2 <= n_mask <= 30  # ~2/10 of 60 = 12, loose bounds
+
+
+def test_gray_mode(tiny_dataset):
+    root, occl = tiny_dataset
+    ds = FaceByRandOccMask(root, out_size=(128, 128), is_gray=True,
+                           use_norm=False, occluder_root=occl)
+    r = np.random.RandomState(0)
+    img, msk, ori, label = ds.__getitem__(0, r)
+    assert img.shape == (128, 128, 1)
+    assert ori.shape == (128, 128, 1)
+    assert msk.shape == (128, 128)
+
+
+def test_gauss_map_range():
+    r = np.random.RandomState(0)
+    g = gauss_map(0, 0, 112, 112, r, radius=128)
+    assert g.shape == (112, 112)
+    assert 0 < g.min() and g.max() <= 1.0

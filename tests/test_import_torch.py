@@ -1,0 +1,114 @@
+"""Checkpoint-transliteration parity: a torch iResNet built to the reference
+architecture spec (`backbones/frb/iresnet.py:38-236`) is randomly initialised,
+imported through tools/import_torch, and must produce the same embeddings as
+our NHWC flax model — the prerequisite for the 'LFW within 0.1% of the
+reference checkpoint' goal."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from msml_tpu.core.precision import FULL_PRECISION  # noqa: E402
+from msml_tpu.nn.iresnet import PeerIResNet  # noqa: E402
+from msml_tpu.tools.import_torch import (_TreeBuilder,  # noqa: E402
+                                         import_iresnet_trunk, merge_into)
+
+
+class TIBasic(tnn.Module):
+    """IBasicBlock spec (iresnet.py:38-67)."""
+
+    def __init__(self, inp, planes, stride=1, down=False):
+        super().__init__()
+        self.bn1 = tnn.BatchNorm2d(inp, eps=1e-5)
+        self.conv1 = tnn.Conv2d(inp, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes, eps=1e-5)
+        self.prelu = tnn.PReLU(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes, eps=1e-5)
+        self.downsample = None
+        if down:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inp, planes, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes, eps=1e-5))
+
+    def forward(self, x):
+        identity = x
+        out = self.bn3(self.conv2(self.prelu(self.bn2(self.conv1(
+            self.bn1(x))))))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return out + identity
+
+
+class TIResNet(tnn.Module):
+    """IResNetVanilla spec (iresnet.py:241-363), 18-layer config."""
+
+    def __init__(self, layers=(2, 2, 2, 2), dim=512):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 3, 1, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64, eps=1e-5)
+        self.prelu = tnn.PReLU(64)
+        planes = (64, 128, 256, 512)
+        inp = 64
+        for li in range(4):
+            blocks = [TIBasic(inp, planes[li], 2, True)]
+            inp = planes[li]
+            for _ in range(1, layers[li]):
+                blocks.append(TIBasic(inp, planes[li]))
+            setattr(self, f"layer{li + 1}", tnn.Sequential(*blocks))
+        self.bn2 = tnn.BatchNorm2d(512, eps=1e-5)
+        self.fc = tnn.Linear(512 * 49, dim)
+        self.features = tnn.BatchNorm1d(dim, eps=1e-5)
+        tnn.init.constant_(self.features.weight, 1.0)
+        # randomize the rest so parity is meaningful
+        for m in self.modules():
+            if isinstance(m, tnn.Conv2d):
+                tnn.init.normal_(m.weight, 0, 0.1)
+            elif isinstance(m, tnn.BatchNorm2d):
+                tnn.init.uniform_(m.weight, 0.5, 1.5)
+                tnn.init.normal_(m.bias, 0, 0.1)
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    def forward(self, x):
+        x = self.prelu(self.bn1(self.conv1(x)))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = self.bn2(x)
+        x = torch.flatten(x, 1)
+        x = self.fc(x)
+        return self.features(x)
+
+
+def test_iresnet_import_forward_parity():
+    torch.manual_seed(0)
+    tmodel = TIResNet().eval()
+    sd = tmodel.state_dict()
+
+    b = _TreeBuilder()
+    import_iresnet_trunk(b, {k: v.numpy() for k, v in sd.items()}, "",
+                         ("m",))
+
+    model = PeerIResNet(layers=(2, 2, 2, 2), policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(0).randn(2, 112, 112, 3).astype(np.float32)
+    variables = model.init(rng, jnp.asarray(x))
+    params = merge_into(jax.device_get(variables["params"]), b.params["m"])
+    stats = merge_into(jax.device_get(variables["batch_stats"]),
+                       b.batch_stats["m"])
+
+    feat, inters = model.apply({"params": params, "batch_stats": stats},
+                               jnp.asarray(x))
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    got = np.asarray(feat)
+    # cosine similarity is the metric that matters for verification
+    cos = (got * want).sum(1) / (
+        np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1))
+    assert cos.min() > 0.9999, cos
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-2)

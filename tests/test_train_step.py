@@ -1,0 +1,133 @@
+"""End-to-end SPMD train-step tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msml_tpu.core.config import Config, config_init, lr_step_factor
+from msml_tpu.core.mesh import make_mesh
+from msml_tpu.core.precision import FULL_PRECISION
+from msml_tpu.data.synthetic import synthetic_batch
+from msml_tpu.heads.margin import get_margin_fn
+from msml_tpu.heads.partial_fc import PartialFC
+from msml_tpu.nn.msml import msml_from_config
+from msml_tpu.train import optim
+from msml_tpu.train.train_step import (init_train_state, make_eval_step,
+                                       make_train_step)
+
+
+def _cfg(**over):
+    cfg = Config.from_dict({
+        "dataset": "synthetic", "fp16": False, "batch_size": 2,
+        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
+        "fm_layers": [1, 1, 1, 1], "fm_params": [3, 2, "sigmoid", "mul"],
+        "peer_params": {"use_ori": False, "use_conv": False,
+                        "mask_trans": "conv", "use_decoder": False},
+        "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0.0, 0.0],
+        "exp_id": 0, "output_prefix": "test", "num_classes": 64,
+        "out_folder": "/tmp/msml_test_out",
+    })
+    cfg.update(Config.from_dict(over))
+    config_init(cfg)
+    return cfg
+
+
+def _batch(cfg, mesh, seed=0):
+    world = mesh.shape["data"]
+    b = synthetic_batch(cfg.batch_size * world, size=cfg.out_size[0],
+                        channels=1 if cfg.is_gray else 3,
+                        num_classes=cfg.num_classes, seed=seed)
+    if not cfg.use_osb:
+        del b["msk"]
+    if not cfg.peer_params.use_ori:
+        del b["ori"]
+    return b
+
+
+def _run_steps(cfg, use_pfc, n=2):
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION,
+                             external_header=use_pfc)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
+    lr_scales = optim.build_lr_scales(state.params, cfg,
+                                      mesh.shape["data"])
+    pfc = None
+    if use_pfc:
+        pfc = PartialFC(num_classes=cfg.num_classes,
+                        embedding_size=cfg.dim_feature,
+                        sample_rate=float(cfg.sample_rate),
+                        margin_fn=get_margin_fn(cfg.header_type,
+                                                cfg.header_params))
+    step = make_train_step(model, cfg, mesh, lr_scales, pfc)
+    metrics_hist = []
+    for i in range(n):
+        batch = _batch(cfg, mesh, seed=i)
+        state, metrics = step(state, batch, lr_step_factor(cfg, 0), rng)
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    return state, metrics_hist, model, mesh
+
+
+def test_train_step_fullclass_runs_and_updates():
+    cfg = _cfg(use_osb=False, fm_layers=[0, 0, 0, 0])
+    state, hist, model, mesh = _run_steps(cfg, use_pfc=False, n=2)
+    assert int(state.step) == 2
+    for m in hist:
+        assert np.isfinite(m["total_loss"])
+        assert m["seg_loss"] == 0.0
+    assert hist[0]["grad_norm"] > 0
+
+
+def test_train_step_with_osb_and_seg_loss():
+    cfg = _cfg()
+    state, hist, model, mesh = _run_steps(cfg, use_pfc=False, n=1)
+    assert hist[0]["seg_loss"] > 0
+    assert np.isfinite(hist[0]["total_loss"])
+
+
+def test_train_step_partial_fc():
+    cfg = _cfg(use_osb=False, fm_layers=[0, 0, 0, 0])
+    state, hist, model, mesh = _run_steps(cfg, use_pfc=True, n=2)
+    assert np.isfinite(hist[0]["total_loss"])
+    # pfc weight is sharded over the mesh
+    assert state.pfc_weight.sharding.spec == jax.sharding.PartitionSpec("data")
+    # nll differs from the smoothed loss
+    assert hist[0]["nll"] != hist[0]["total_loss"]
+
+
+def test_train_step_peer_frozen():
+    """Peer params must not move (requires_grad=False parity)."""
+    cfg = _cfg(peer_params={"use_ori": True, "use_conv": True,
+                            "mask_trans": "conv", "use_decoder": False})
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh)
+    peer_before = jax.tree.map(np.asarray, state.params["peer"])
+    lr_scales = optim.build_lr_scales(state.params, cfg, mesh.shape["data"])
+    step = make_train_step(model, cfg, mesh, lr_scales)
+    batch = _batch(cfg, mesh)
+    state, metrics = step(state, batch, 1.0, rng)
+    assert metrics["kd"] > 0
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+                 peer_before, state.params["peer"])
+    # but the frb did move
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.tree.map(np.asarray, state.params["frb"]),
+        jax.device_get(
+            init_train_state(model, cfg, rng, mesh).params["frb"])))
+    assert max(moved) > 0
+
+
+def test_eval_step_contract():
+    cfg = _cfg(use_osb=False, fm_layers=[0, 0, 0, 0])
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh)
+    ev = make_eval_step(model, mesh)
+    img = jnp.zeros((4, 112, 112, 3))
+    feats = ev(state.params, state.batch_stats, img)
+    assert feats.shape == (4, 512)
