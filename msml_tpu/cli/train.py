@@ -113,6 +113,20 @@ def main(args):
     tlog = ThroughputLogger(args.log_every, total_step,
                             cfg.batch_size * world, world, logger)
 
+    # in-training verification every 8000 steps (train.py:215)
+    from msml_tpu.core.callbacks import CallBackVerification
+    from msml_tpu.train.train_step import make_eval_step
+    eval_step = make_eval_step(model, mesh)
+
+    def extract_fn(img_np):
+        return eval_step(state.params, state.batch_stats,
+                         img_np.astype(np.float32))
+
+    callback_verification = CallBackVerification(
+        args.ver_every, cfg.get("val_targets", []), cfg.rec, extract_fn,
+        image_size=cfg.out_size, is_gray=cfg.is_gray,
+        use_norm=cfg.use_norm, logger=logger)
+
     global_step = int(state.step)
     start_epoch = global_step // max(steps_per_epoch, 1)
     done = False
@@ -131,6 +145,7 @@ def main(args):
                         cfg.exp_id, float(metrics["seg_loss"]),
                         float(metrics["cls_loss"]), float(metrics["kd"]),
                         float(metrics["grad_norm"])))
+            callback_verification(global_step)
             if args.steps and global_step >= args.steps:
                 done = True
                 break
@@ -153,6 +168,8 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=0,
                    help="stop after N steps (smoke runs)")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--ver-every", type=int, default=8000,
+                   help="verification cadence (train.py:215)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--platform", type=str, default="",
                    help="override jax platform (e.g. cpu for smoke runs)")

@@ -1,0 +1,112 @@
+"""Tool tests: baselines, mask rendering, frb export, folder->rec."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from msml_tpu.core.precision import FULL_PRECISION
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_sphere_cosface2018_shapes():
+    """cosface2018.py:19-73: sphere20 on (112, 96) -> 512-d feature."""
+    from msml_tpu.nn.baselines import cosface2018
+    model = cosface2018(input_size=(112, 96), policy=FULL_PRECISION)
+    x = jnp.zeros((2, 112, 96, 3))
+    variables = model.init(KEY, x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 512)
+
+
+def test_resnet28_shapes():
+    from msml_tpu.nn.baselines import resnet28
+    model = resnet28(policy=FULL_PRECISION)
+    x = jnp.zeros((1, 112, 112, 3))
+    variables = model.init(KEY, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 512)
+
+
+def test_render_masks_roundtrip(tmp_path):
+    """render_masks produces mask_out/mask recs consumable by the dataset
+    (cvt_casia_webface_masked.py contract)."""
+    from msml_tpu.data.recordio import (IRHeader, IndexedRecordIO, imencode,
+                                        pack, unpack, imdecode)
+    from msml_tpu.tools.render_masks import check_dataset, render_dataset
+
+    root = str(tmp_path)
+    rng = np.random.RandomState(0)
+    rec = IndexedRecordIO(os.path.join(root, "train.idx"),
+                          os.path.join(root, "train.rec"), "w")
+    n = 4
+    rec.write_idx(0, pack(IRHeader(2, [n + 1, 2], 1, 0), b""))
+    for i in range(1, n + 1):
+        small = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+        img = np.asarray(Image.fromarray(small).resize((112, 112)))
+        rec.write_idx(i, pack(IRHeader(0, float(i % 2), 0, 0), imencode(img)))
+    rec.close()
+
+    count = render_dataset(root, seed=0)
+    assert count == n
+    check_dataset(root, n)
+
+    mo = IndexedRecordIO(os.path.join(root, "mask_out.idx"),
+                         os.path.join(root, "mask_out.rec"))
+    mk = IndexedRecordIO(os.path.join(root, "mask.idx"),
+                         os.path.join(root, "mask.rec"))
+    _, b = unpack(mo.read_idx(1))
+    _, bm = unpack(mk.read_idx(1))
+    masked = imdecode(b)
+    mask = imdecode(bm)
+    # lower-face region should be marked occluded (mask 0 = occluded)
+    occluded_frac = (mask[..., 0] < 128).mean()
+    assert 0.1 < occluded_frac < 0.7
+    # FaceByRandOccMask can consume it
+    from msml_tpu.data.face_dataset import FaceByRandOccMask
+    ds = FaceByRandOccMask(root, use_norm=False, occ=True,
+                           occluder_root="/nonexistent")
+    r = np.random.RandomState(3)
+    img, msk, ori, label = ds.__getitem__(0, r)
+    assert img.shape == (112, 112, 3)
+
+
+def test_export_frb_npz_roundtrip(tmp_path):
+    from msml_tpu.tools.export_frb import extract_frb, load_npz, save_npz
+
+    params = {"frb": {"conv1": {"kernel": np.ones((3, 3, 3, 8), np.float32)}},
+              "osb": {"x": np.zeros(3)}}
+    stats = {"frb": {"bn1": {"mean": np.zeros(8), "var": np.ones(8)}}}
+    frb_p, frb_s = extract_frb(params, stats)
+    path = str(tmp_path / "peer.npz")
+    save_npz(path, frb_p, frb_s)
+    p2, s2 = load_npz(path)
+    np.testing.assert_array_equal(p2["conv1"]["kernel"],
+                                  params["frb"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(s2["bn1"]["var"],
+                                  stats["frb"]["bn1"]["var"])
+
+
+def test_convert_folder_to_rec(tmp_path):
+    from msml_tpu.tools.convert_folder_to_rec import convert
+    from msml_tpu.data.face_dataset import FaceByRandOccMask
+
+    rng = np.random.RandomState(0)
+    for cls in ("id_a", "id_b"):
+        d = tmp_path / "src" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            img = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{i}.jpg")
+    out = str(tmp_path / "rec")
+    n, c = convert(str(tmp_path / "src"), out)
+    assert (n, c) == (6, 2)
+    ds = FaceByRandOccMask(out, use_norm=False, occ=False,
+                           occluder_root="/nonexistent")
+    assert len(ds) == 6
+    img, msk, ori, label = ds.__getitem__(0, np.random.RandomState(0))
+    assert img.shape == (112, 112, 3) and 0 <= int(label) < 2
