@@ -22,6 +22,11 @@ import time
 import jax
 import numpy as np
 
+# persistent compile cache: remote TPU compiles through the axon tunnel can
+# take minutes and vary wildly; cache them across bench runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/msml_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 A100_EST_IPS = 1500.0  # estimated reference PyTorch AMP img/s on one A100
 TARGET_IPS = 2.0 * A100_EST_IPS
 

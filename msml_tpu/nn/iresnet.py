@@ -98,6 +98,9 @@ class IResNet(nn.Module):
     fm_ops: Sequence[nn.Module] = ()
     use_decoder: bool = False
     decoder_loss_weight: float = 0.0
+    remat: bool = False  # rematerialize stages: trade recompute FLOPs for
+    #                      activation HBM traffic (we are bandwidth-bound on
+    #                      v5e at these channel widths)
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
@@ -111,11 +114,13 @@ class IResNet(nn.Module):
         x = batch_norm(train, cdt, name="bn1")(x)
         x = PReLU(cdt, name="prelu")(x)
 
+        stage_cls = nn.remat(ResStage, static_argnums=(2,)) if self.remat \
+            else ResStage
         planes = (64, 128, 256, 512)
         kd_losses = []
         for i in range(4):
-            x = ResStage(planes[i], self.layers[i], 2, cdt,
-                         name=f"layer{i + 1}")(x, train)
+            x = stage_cls(planes[i], self.layers[i], 2, cdt,
+                          name=f"layer{i + 1}")(x, train)
             x, kd = self.fm_ops[i](x, segs[i], peer_feats[i])
             if kd is not None:
                 kd_losses.append(kd)

@@ -62,6 +62,7 @@ class MSML(nn.Module):
     # when True the classification head lives outside (PartialFC in the
     # train step); training forward then returns (feature, final_seg, kd).
     external_header: bool = False
+    remat: bool = False
     policy: Policy = DEFAULT_POLICY
 
     def setup(self):
@@ -104,6 +105,7 @@ class MSML(nn.Module):
                                dropout=self.dropout, fm_ops=fm_ops,
                                use_decoder=self.use_decoder,
                                decoder_loss_weight=self.decoder_loss_weight,
+                               remat=self.remat,
                                policy=self.policy, name="frb")
             if self.use_ori:
                 self.peer = PeerIResNet(layers=layers,
@@ -113,8 +115,8 @@ class MSML(nn.Module):
         if self.use_osb:
             if "unet" not in self.osb_type:
                 raise ValueError("OSB type error")
-            self.osb = Unet(input_size=input_size, policy=self.policy,
-                            name="osb")
+            self.osb = Unet(input_size=input_size, remat=self.remat,
+                            policy=self.policy, name="osb")
 
         if not self.external_header:
             s, m, a, k = self.header_params
@@ -180,5 +182,6 @@ def msml_from_config(cfg, policy: Policy | None = None,
         use_decoder=bool(pp.get("use_decoder", False)),
         decoder_loss_weight=float(cfg.get("decoder_loss_weight", 0.0)),
         external_header=external_header,
+        remat=bool(cfg.get("remat", False)),
         policy=policy,
     )

@@ -58,6 +58,7 @@ class Unet(nn.Module):
     kernel_size: int = 7
     dap_k: int = 3
     input_size: int = 112
+    remat: bool = False
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
@@ -65,6 +66,8 @@ class Unet(nn.Module):
         cdt = self.policy.compute_dtype
         nc, dk = self.num_classes, self.dap_k
         seg_ch = nc * dk ** 2  # 18
+        stage = nn.remat(ResStage, static_argnums=(2,)) if self.remat \
+            else ResStage
 
         x = x.astype(cdt)
         # stride-2 stem (`unet.py:112-117`)
@@ -73,10 +76,10 @@ class Unet(nn.Module):
         s = batch_norm(train, cdt, name="bn1")(t)
         x0 = PReLU(cdt, name="prelu")(s)            # 56 | 64
 
-        x1 = ResStage(64, self.layers[0], 2, cdt, name="layer1")(x0, train)   # 28 | 32
-        x2 = ResStage(128, self.layers[1], 2, cdt, name="layer2")(x1, train)  # 14 | 16
-        x3 = ResStage(256, self.layers[2], 2, cdt, name="layer3")(x2, train)  # 7 | 8
-        x4 = ResStage(512, self.layers[3], 2, cdt, name="layer4")(x3, train)  # 4 | 4
+        x1 = stage(64, self.layers[0], 2, cdt, name="layer1")(x0, train)   # 28 | 32
+        x2 = stage(128, self.layers[1], 2, cdt, name="layer2")(x1, train)  # 14 | 16
+        x3 = stage(256, self.layers[2], 2, cdt, name="layer3")(x2, train)  # 7 | 8
+        x4 = stage(512, self.layers[3], 2, cdt, name="layer4")(x3, train)  # 4 | 4
         xx = batch_norm(train, cdt, name="bn2")(x4)
 
         x_ = GlobalConvModule(nc * 4, self.kernel_size, cdt, name="gcm1")(xx)

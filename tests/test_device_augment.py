@@ -1,0 +1,66 @@
+"""On-device augmentation: distribution/semantic checks for the jnp stage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msml_tpu.kernels.augment import (device_augment_batch,
+                                      device_gauss_light,
+                                      device_random_block)
+
+
+def test_random_block_area_and_fill():
+    rng = jax.random.PRNGKey(0)
+    img = jnp.full((8, 112, 112, 3), 0.8)
+    out = device_random_block(img, rng, 40, 41, "black")
+    frac = np.asarray((out == 0).all(-1).mean(axis=(1, 2)))
+    want = int(np.floor(np.sqrt(0.40) * 112)) ** 2 / 112 ** 2
+    np.testing.assert_allclose(frac, want, rtol=0.05)
+    out_w = device_random_block(img, rng, 40, 41, "white")
+    assert float((out_w == 1.0).all(-1).mean()) > 0.3
+
+
+def test_random_block_zero_ratio_identity():
+    rng = jax.random.PRNGKey(1)
+    img = jax.random.uniform(rng, (2, 112, 112, 3))
+    out = device_random_block(img, rng, 0, 1, "black")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_gauss_light_range_and_max():
+    rng = jax.random.PRNGKey(2)
+    img = jax.random.uniform(rng, (4, 112, 112, 3), minval=0.2, maxval=1.0)
+    out = device_gauss_light(img, rng)
+    m = np.asarray(out.max(axis=(1, 2, 3)))
+    np.testing.assert_allclose(m, 1.0, rtol=1e-5)
+    assert float(out.min()) >= 0.0
+
+
+def test_augment_batch_norm_and_flip():
+    rng = jax.random.PRNGKey(3)
+    img = jax.random.uniform(rng, (2, 8, 8, 3))
+    out = device_augment_batch(img, rng, use_norm=True, flip=True)
+    want = np.asarray((img[:, :, ::-1, :] - 0.5) / 0.5)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
+def test_augment_matches_host_distribution():
+    """Occluded-area distribution matches the host RandomBlock over many
+    draws (same ratio law)."""
+    from PIL import Image
+    from msml_tpu.data.rand_occ import RandomBlock
+
+    n = 64
+    rng = jax.random.PRNGKey(4)
+    img = jnp.full((n, 112, 112, 3), 0.5)
+    out = device_random_block(img, rng, 20, 51, "black")
+    dev_frac = np.asarray((out == 0).all(-1).mean(axis=(1, 2)))
+
+    host = RandomBlock(20, 51, "black")
+    r = np.random.RandomState(0)
+    pil = Image.fromarray(np.full((112, 112, 3), 128, np.uint8))
+    host_frac = []
+    for _ in range(n):
+        o = np.asarray(host(pil, r))
+        host_frac.append((o == 0).all(-1).mean())
+    assert abs(dev_frac.mean() - np.mean(host_frac)) < 0.05

@@ -110,3 +110,14 @@ def test_convert_folder_to_rec(tmp_path):
     assert len(ds) == 6
     img, msk, ori, label = ds.__getitem__(0, np.random.RandomState(0))
     assert img.shape == (112, 112, 3) and 0 <= int(label) < 2
+
+
+def test_from2021_contract():
+    """from2021.py:431-436: (12, 112, 96, 3) -> 512-d embedding."""
+    from msml_tpu.nn.from2021 import From2021, get_grids
+    assert len(get_grids(112, 96, 5)) == 226
+    model = From2021(policy=FULL_PRECISION)
+    x = jnp.zeros((2, 112, 96, 3))
+    variables = model.init({"params": KEY, "dropout": KEY}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 512)
