@@ -29,7 +29,7 @@ from msml_tpu.nn.iresnet import IRESNET_LAYERS, IResNet, PeerIResNet
 from msml_tpu.nn.lightcnn import LightCNN29v2, PeerLightCNN
 from msml_tpu.nn.unet import Unet
 
-FRB_TYPES = ("lightcnn", "iresnet18", "iresnet34", "iresnet50")
+FRB_TYPES = ("lightcnn", "iresnet18", "iresnet34", "iresnet50", "iresnet100")
 OSB_TYPES = ("unet",)
 HEAD_TYPES = ("Softmax", "AMArcFace", "AMCosFace")
 

@@ -173,3 +173,22 @@ def test_occlusion_sweep_no_occ_smoke():
                            batch_size=4, dim_feature=dim, verbose=False)
     assert len(rows) == 1
     assert rows[0]["avg_acc"] >= 0.9  # identical pairs must verify
+
+
+def test_real_occ(tmp_path):
+    """RealOcc paste pipeline: output contract + occlusion present."""
+    from msml_tpu.tools.make_occluders import main as make_occluders
+    from msml_tpu.data.real_occ import RealOcc
+
+    make_occluders(str(tmp_path), num=4)
+    trans = RealOcc(str(tmp_path / "object_train"))
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(np.full((112, 112, 3), 180, np.uint8))
+    occluded_any = False
+    for i in range(5):
+        out, msk = trans(img, rng)
+        assert out.size == (112, 112)
+        m = np.asarray(msk)
+        assert set(np.unique(m)) <= {0, 255}
+        occluded_any |= (m == 0).any()
+    assert occluded_any
