@@ -55,6 +55,46 @@ def main(args):
 
     bin_path = args.bin or os.path.join(cfg.rec, args.dataset + ".bin")
     imgs, issame = load_bin_pil(bin_path)
+
+    if args.vis:
+        # FM-internals visualization mode (qeval_mxnet.py:341-376):
+        # capture contaminated/mask/purified features and the predicted seg
+        from msml_tpu.core.vis import plot_fm_features, save_training_snapshot
+        from msml_tpu.eval.occ_sweep import center_crop
+        from msml_tpu.data.rand_occ import RandomBlock
+
+        block = RandomBlock(35, 36, args.fill_type)
+        rng = np.random.RandomState(0)
+        batch = []
+        for img in imgs[:8]:
+            one = block(center_crop(img, tuple(cfg.out_size)), rng)
+            a = np.asarray(one, np.float32) / 255.0
+            batch.append((a - 0.5) / 0.5 if cfg.get("use_norm", True) else a)
+        x = np.stack(batch)
+        (feature, final_seg), inters = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False, mutable=["intermediates"])
+        seg = np.asarray(final_seg)
+        occ = np.argmax(seg, -1)  # 0: occluded
+        os.makedirs(args.vis_dir, exist_ok=True)
+        save_training_snapshot(args.vis_dir, 0, x[0], seg[0],
+                               is_gray=bool(cfg.get("is_gray", False)))
+        for i in range(4):
+            fm = inters["intermediates"].get(f"fm_op{i}")
+            if not fm:
+                continue
+            import jax.image as jimage
+            h = fm["contaminated"][0].shape[1]
+            occ_r = np.asarray(jimage.resize(
+                occ.astype(np.float32), (occ.shape[0], h, h), "nearest"))
+            occ_r = np.repeat(occ_r[..., None],
+                              fm["contaminated"][0].shape[-1], -1)
+            plot_fm_features(np.asarray(fm["contaminated"][0]),
+                             np.asarray(fm["mask"][0]),
+                             np.asarray(fm["purified"][0]),
+                             occ_r, args.vis_dir, tag=f"fm{i}")
+        print("visualizations written to", args.vis_dir)
+        return None
     results = occlusion_sweep(
         imgs, issame, extract_fn, out_size=tuple(cfg.out_size),
         fill_type=args.fill_type, batch_size=args.batch_size,
@@ -86,6 +126,9 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=25)
     p.add_argument("--out-json", type=str, default="")
     p.add_argument("--platform", type=str, default="")
+    p.add_argument("--vis", action="store_true",
+                   help="FM-internals visualization (qeval_mxnet --vis)")
+    p.add_argument("--vis-dir", type=str, default="vis_out")
     return p.parse_args(argv)
 
 

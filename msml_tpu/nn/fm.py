@@ -98,6 +98,11 @@ class FMCnn(nn.Module):
         else:
             raise ValueError(f"activation {self.activation}")
 
+        # feature-distribution capture (fmoperator.py:177-200 en_save hooks);
+        # no-ops unless apply(..., mutable=["intermediates"]) requests them
+        self.sow("intermediates", "contaminated", identity)
+        self.sow("intermediates", "mask", x)
+
         f_out = 0.0
         kd = None
         if self.use_ori:
@@ -134,6 +139,7 @@ class FMCnn(nn.Module):
             x = identity * x
         else:
             raise ValueError(f"arith {self.arith_strategy}")
+        self.sow("intermediates", "purified", x)
 
         if self.use_ori:
             x = x + f_out

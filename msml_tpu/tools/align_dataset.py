@@ -1,0 +1,106 @@
+"""Align raw face folders to 112x112 ArcFace crops.
+
+Parity target: `eval/align_dataset.py:10-92` (MTCNN / PIPNet detection +
+norm_crop) and the RetinaFace-based PKU alignment
+(`datasets/benchmarks/iterate_pku.py:36-38`). The landmark->crop math is the
+same Umeyama similarity transform (tools/native.norm_crop, C++-backed).
+
+Detector sources (the reference's MTCNN/PIPNet/RetinaFace are all external
+model zoos; none ship in this image):
+  * --landmarks FILE: precomputed 5-pt landmarks, one line per image:
+      <relative/path.jpg> x1 y1 x2 y2 x3 y3 x4 y4 x5 y5
+  * --yunet MODEL.onnx: OpenCV FaceDetectorYN (returns exactly the 5
+    landmarks: eyes, nose, mouth corners) when you supply the model file.
+
+Usage:
+  python -m msml_tpu.tools.align_dataset --src raw/ --out aligned/ \
+      --landmarks lmk.txt [--size 112]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def load_landmark_file(path: str) -> Dict[str, np.ndarray]:
+    lmk = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 11:
+                continue
+            lmk[parts[0]] = np.asarray(
+                list(map(float, parts[1:])), np.float32).reshape(5, 2)
+    return lmk
+
+
+class YuNetDetector:
+    """cv2.FaceDetectorYN wrapper -> best-face 5-pt landmarks."""
+
+    def __init__(self, model_path: str, score_thresh: float = 0.6):
+        import cv2
+        self.det = cv2.FaceDetectorYN_create(model_path, "", (320, 320),
+                                             score_thresh)
+
+    def __call__(self, img_bgr: np.ndarray) -> Optional[np.ndarray]:
+        import cv2  # noqa: F401
+        h, w = img_bgr.shape[:2]
+        self.det.setInputSize((w, h))
+        _, faces = self.det.detect(img_bgr)
+        if faces is None or len(faces) == 0:
+            return None
+        best = faces[np.argmax(faces[:, -1])]
+        return best[4:14].reshape(5, 2).astype(np.float32)
+
+
+def align_folder(src: str, out: str, size: int = 112,
+                 landmarks: Optional[Dict[str, np.ndarray]] = None,
+                 detector: Optional[YuNetDetector] = None) -> dict:
+    import cv2
+    from msml_tpu.tools.native import norm_crop
+
+    counts = {"aligned": 0, "skipped": 0}
+    for root, _, files in os.walk(src):
+        for f in sorted(files):
+            if not f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), src)
+            img = cv2.imread(os.path.join(src, rel), cv2.IMREAD_COLOR)
+            if img is None:
+                counts["skipped"] += 1
+                continue
+            lmk = None
+            if landmarks is not None:
+                lmk = landmarks.get(rel)
+            elif detector is not None:
+                lmk = detector(img)
+            if lmk is None:
+                counts["skipped"] += 1
+                continue
+            crop = norm_crop(img, lmk, size)
+            dst = os.path.join(out, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            cv2.imwrite(dst, crop)
+            counts["aligned"] += 1
+    print(f"align_folder: {counts}")
+    return counts
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--src", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--size", type=int, default=112)
+    p.add_argument("--landmarks", type=str, default="")
+    p.add_argument("--yunet", type=str, default="",
+                   help="path to a YuNet face detection onnx model")
+    a = p.parse_args()
+    lmk = load_landmark_file(a.landmarks) if a.landmarks else None
+    det = YuNetDetector(a.yunet) if a.yunet else None
+    if lmk is None and det is None:
+        raise SystemExit("provide --landmarks or --yunet")
+    align_folder(a.src, a.out, a.size, lmk, det)

@@ -180,6 +180,50 @@ def bbox_overlaps(boxes: np.ndarray, query: np.ndarray,
     return out
 
 
+# ---------------------------------------------------------------------- rle
+def rle_encode(mask: np.ndarray, force_numpy: bool = False) -> dict:
+    """COCO-style RLE of a binary mask (h, w) — column-major counts starting
+    with zeros (pycocotools maskApi.c parity). Returns {'size', 'counts'}."""
+    h, w = mask.shape
+    flat = np.asfortranarray(mask.astype(np.uint8)).ravel(order="F")
+    flat = np.ascontiguousarray(flat)
+    lib = None if force_numpy else _load()
+    if lib is not None and hasattr(lib, "rle_encode"):
+        counts = np.zeros(h * w + 1, np.uint32)
+        n = lib.rle_encode(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int(h), ctypes.c_int(w),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return {"size": (h, w), "counts": counts[:n].tolist()}
+    # numpy fallback
+    changes = np.flatnonzero(np.diff(flat)) + 1
+    bounds = np.concatenate([[0], changes, [flat.size]])
+    runs = np.diff(bounds).tolist()
+    if flat[0] == 1:
+        runs = [0] + runs
+    return {"size": (h, w), "counts": runs}
+
+
+def rle_decode(rle: dict, force_numpy: bool = False) -> np.ndarray:
+    h, w = rle["size"]
+    counts = np.asarray(rle["counts"], np.uint32)
+    lib = None if force_numpy else _load()
+    if lib is not None and hasattr(lib, "rle_decode"):
+        out = np.zeros(h * w, np.uint8)
+        lib.rle_decode(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int(len(counts)), ctypes.c_int(h), ctypes.c_int(w),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.reshape((h, w), order="F")
+    vals = np.zeros(len(counts), np.uint8)
+    vals[1::2] = 1
+    return np.repeat(vals, counts).reshape((h, w), order="F")
+
+
+def rle_area(rle: dict) -> int:
+    return int(np.asarray(rle["counts"][1::2], np.int64).sum())
+
+
 # --------------------------------------------------------------- face align
 ARCFACE_DST = np.array(
     [[38.2946, 51.6963], [73.5318, 51.5014], [56.0252, 71.7366],

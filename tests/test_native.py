@@ -80,3 +80,23 @@ def test_norm_crop_shape():
     lmk = _landmarks(5) + 20
     out = native.norm_crop(img, lmk)
     assert out.shape == (112, 112, 3)
+
+
+def test_rle_roundtrip_cpp_and_numpy():
+    """COCO RLE encode/decode parity (maskApi.c capability)."""
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(23, 17) > 0.6).astype(np.uint8)
+    for force in (False, True):
+        rle = native.rle_encode(mask, force_numpy=force)
+        assert rle["size"] == (23, 17)
+        dec = native.rle_decode(rle, force_numpy=force)
+        np.testing.assert_array_equal(dec, mask)
+        assert native.rle_area(rle) == int(mask.sum())
+    # cpp and numpy produce identical counts
+    a = native.rle_encode(mask, force_numpy=False)["counts"]
+    b = native.rle_encode(mask, force_numpy=True)["counts"]
+    assert a == b
+    # all-zero and all-one masks
+    for m in (np.zeros((4, 4), np.uint8), np.ones((4, 4), np.uint8)):
+        rle = native.rle_encode(m)
+        np.testing.assert_array_equal(native.rle_decode(rle), m)

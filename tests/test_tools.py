@@ -121,3 +121,32 @@ def test_from2021_contract():
     variables = model.init({"params": KEY, "dropout": KEY}, x, train=False)
     out = model.apply(variables, x, train=False)
     assert out.shape == (2, 512)
+
+
+def test_align_dataset_with_landmark_file(tmp_path):
+    import cv2
+    from msml_tpu.tools.align_dataset import align_folder, load_landmark_file
+    from msml_tpu.tools.native import ARCFACE_DST
+
+    rng = np.random.RandomState(0)
+    src = tmp_path / "raw" / "idA"
+    src.mkdir(parents=True)
+    # smooth image: the umeyama translation is float, so warpAffine samples
+    # at sub-pixel offsets — exact comparison needs smoothness
+    small = (rng.rand(10, 10, 3) * 255).astype(np.uint8)
+    img = cv2.resize(small, (160, 160), interpolation=cv2.INTER_CUBIC)
+    cv2.imwrite(str(src / "a.png"), img)
+    # landmarks = template shifted by +20: crop should translate back
+    lmk = ARCFACE_DST + 20
+    lfile = tmp_path / "lmk.txt"
+    lfile.write_text("idA/a.png " + " ".join(
+        f"{v:.2f}" for v in lmk.ravel()) + "\n")
+    out = tmp_path / "aligned"
+    counts = align_folder(str(tmp_path / "raw"), str(out),
+                          landmarks=load_landmark_file(str(lfile)))
+    assert counts == {"aligned": 1, "skipped": 0}
+    crop = cv2.imread(str(out / "idA" / "a.png"))
+    assert crop.shape == (112, 112, 3)
+    # alignment is a pure translation here: crop ~= img[20:132, 20:132]
+    np.testing.assert_allclose(crop.astype(int),
+                               img[20:132, 20:132].astype(int), atol=6)

@@ -137,4 +137,48 @@ void bbox_overlaps(const float* boxes, int n, const float* query, int k,
   }
 }
 
+// COCO-style RLE mask encode/decode (capability parity with the reference's
+// vendored pycocotools maskApi.c used by the RetinaFace benchmark tooling).
+// Column-major (Fortran) order like COCO; counts alternate zeros/ones
+// starting with zeros.
+// encode: mask (h*w uint8, column-major) -> counts buffer; returns n_counts
+// (caller provides counts capacity h*w+1).
+int rle_encode(const uint8_t* mask, int h, int w, uint32_t* counts) {
+  const long n = (long)h * w;
+  int n_counts = 0;
+  uint8_t cur = 0;  // runs start with zeros
+  uint32_t run = 0;
+  for (long i = 0; i < n; ++i) {
+    const uint8_t v = mask[i] ? 1 : 0;
+    if (v != cur) {
+      counts[n_counts++] = run;
+      run = 0;
+      cur = v;
+    }
+    ++run;
+  }
+  counts[n_counts++] = run;
+  return n_counts;
+}
+
+// decode: counts -> mask (h*w uint8, column-major order buffer).
+void rle_decode(const uint32_t* counts, int n_counts, int h, int w,
+                uint8_t* mask) {
+  long pos = 0;
+  const long n = (long)h * w;
+  uint8_t cur = 0;
+  for (int c = 0; c < n_counts && pos < n; ++c) {
+    const long end = pos + counts[c];
+    for (; pos < end && pos < n; ++pos) mask[pos] = cur;
+    cur = 1 - cur;
+  }
+}
+
+// RLE area (sum of the one-runs).
+long rle_area(const uint32_t* counts, int n_counts) {
+  long area = 0;
+  for (int c = 1; c < n_counts; c += 2) area += counts[c];
+  return area;
+}
+
 }  // extern "C"
