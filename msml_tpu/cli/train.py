@@ -57,6 +57,11 @@ def main(args):
                 os.environ.get("XLA_FLAGS", "")
                 + f" --xla_force_host_platform_device_count={args.cpu_devices}"
             ).strip()
+    if args.multihost:
+        # multi-host pods: the jax.distributed analogue of the reference's
+        # torch.distributed.init_process_group (train.py:44-57); coordinator
+        # discovery comes from the TPU environment
+        jax.distributed.initialize()
     # seeds (reference train.py:31-42)
     np.random.seed(1)
     rng = jax.random.PRNGKey(args.seed)
@@ -173,6 +178,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--platform", type=str, default="",
                    help="override jax platform (e.g. cpu for smoke runs)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() for multi-host pods")
     p.add_argument("--cpu-devices", type=int, default=8,
                    help="virtual device count when --platform cpu")
     return p.parse_args(argv)

@@ -1,0 +1,56 @@
+"""In-training verification callback against a synthetic .bin set."""
+
+import logging
+import pickle
+
+import numpy as np
+
+from msml_tpu.core.callbacks import CallBackVerification
+from msml_tpu.data.recordio import imencode
+from PIL import Image
+
+
+def _make_bin(path, n_pairs=40, seed=0):
+    # alternating same/diff so every 10-fold split holds both classes
+    # (calculate_val_far divides by per-fold class counts,
+    # verification.py:166-178)
+    rng = np.random.RandomState(seed)
+
+    def smooth():
+        small = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+        return np.asarray(Image.fromarray(small).resize((112, 112)))
+
+    bins, issame = [], []
+    for p in range(n_pairs):
+        a = smooth()
+        bins.append(imencode(a))
+        if p % 2 == 0:
+            bins.append(imencode(np.clip(a.astype(int) + 2, 0,
+                                         255).astype(np.uint8)))
+            issame.append(True)
+        else:
+            bins.append(imencode(smooth()))
+            issame.append(False)
+    with open(path, "wb") as f:
+        pickle.dump((bins, issame), f)
+
+
+def test_verification_callback(tmp_path, caplog):
+    _make_bin(str(tmp_path / "lfw.bin"))
+
+    def extract(arr):
+        return arr.reshape(arr.shape[0], -1)[:, ::300]
+
+    logger = logging.getLogger("msml_tpu")
+    cb = CallBackVerification(100, ["lfw", "missing_set"], str(tmp_path),
+                              extract, batch_size=8, logger=logger)
+    assert cb.ver_name_list == ["lfw"]  # missing set skipped with warning
+    assert cb(50) is None               # not at the cadence yet
+    with caplog.at_level(logging.INFO, logger="msml_tpu"):
+        results = cb(100)
+    assert results is not None and len(results) == 1
+    assert results[0] > 0.9             # near-duplicate pairs verify
+    assert cb.highest_acc_list[0] == results[0]
+    # highest-acc tracking across calls
+    cb(200)
+    assert cb.highest_acc_list[0] >= results[0]

@@ -131,3 +131,15 @@ def test_eval_step_contract():
     img = jnp.zeros((4, 112, 112, 3))
     feats = ev(state.params, state.batch_stats, img)
     assert feats.shape == (4, 512)
+
+
+def test_train_step_lightcnn_gray():
+    """LightCNN gray-128 recipe end-to-end (config.py:99-106 derivations)."""
+    cfg = _cfg(frb_type="lightcnn", header_type="Softmax",
+               header_params=[64.0, 0.5, 0.0, 0.0],
+               fm_params=[3, 2, "tanh", "add"])
+    assert cfg.is_gray and cfg.out_size == (128, 128)
+    assert cfg.dim_feature == 256
+    state, hist, model, mesh = _run_steps(cfg, use_pfc=False, n=1)
+    assert np.isfinite(hist[0]["total_loss"])
+    assert hist[0]["seg_loss"] > 0
