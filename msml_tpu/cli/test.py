@@ -54,6 +54,25 @@ def main(args):
                          img_np.astype(np.float32))
 
     bin_path = args.bin or os.path.join(cfg.rec, args.dataset + ".bin")
+
+    if args.device_sweep:
+        # on-device protocol: occlusion + normalize fused on the TPU
+        from msml_tpu.data.bin_loader import load_bin
+        from msml_tpu.eval.occ_sweep_device import occlusion_sweep_device
+        data_list, issame = load_bin(bin_path, tuple(cfg.out_size))
+        results = occlusion_sweep_device(
+            data_list, issame, extract_fn, fill_type=args.fill_type,
+            use_norm=bool(cfg.get("use_norm", True)),
+            is_gray=bool(cfg.get("is_gray", False)), no_occ=args.no_occ)
+        print("[protocol]: BB (device) [fill_type]", args.fill_type)
+        for row in results:
+            print("[%d ~ %d] | [avg_acc]: %.4f" % (row["lo"], row["hi"],
+                                                   row["avg_acc"]))
+        if args.out_json:
+            with open(args.out_json, "w") as f:
+                json.dump(results, f, indent=2)
+        return results
+
     imgs, issame = load_bin_pil(bin_path)
 
     if args.vis:
@@ -126,6 +145,9 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=25)
     p.add_argument("--out-json", type=str, default="")
     p.add_argument("--platform", type=str, default="")
+    p.add_argument("--device-sweep", action="store_true",
+                   help="run occlusion + normalize on the TPU "
+                        "(eval/occ_sweep_device.py)")
     p.add_argument("--vis", action="store_true",
                    help="FM-internals visualization (qeval_mxnet --vis)")
     p.add_argument("--vis-dir", type=str, default="vis_out")

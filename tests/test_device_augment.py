@@ -64,3 +64,28 @@ def test_augment_matches_host_distribution():
         o = np.asarray(host(pil, r))
         host_frac.append((o == 0).all(-1).mean())
     assert abs(dev_frac.mean() - np.mean(host_frac)) < 0.05
+
+
+def test_pallas_augment_interpret_mode():
+    """Pallas kernel semantics via the TPU interpreter on CPU: exact block
+    area, per-image PRNG independence, relight renorm."""
+    from jax.experimental.pallas import tpu as pltpu
+    from msml_tpu.kernels.augment import pallas_augment_batch
+
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 112, 112, 3),
+                      jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_augment_batch(img, seed=1, lo=40, hi=41, fill="black",
+                                   use_norm=True, relight=False)
+        arr = np.asarray(out)
+        occ = (arr == -1.0).all(-1)
+        want = np.floor(np.sqrt(0.40) * 112) ** 2 / 112 ** 2
+        np.testing.assert_allclose(occ.mean(axis=(1, 2)), want, rtol=1e-6)
+        # NOTE: the TPU interpreter stubs prng_random_bits to zeros, so
+        # per-image position randomness can only be checked on hardware
+        # (done in the bench drive); here both blocks sit at the origin.
+
+        out2 = pallas_augment_batch(img, seed=1, lo=0, hi=1, fill="black",
+                                    use_norm=False, relight=True)
+        np.testing.assert_allclose(np.asarray(out2).max(axis=(1, 2, 3)), 1.0,
+                                   rtol=1e-5)
