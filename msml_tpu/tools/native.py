@@ -180,6 +180,23 @@ def bbox_overlaps(boxes: np.ndarray, query: np.ndarray,
     return out
 
 
+# ------------------------------------------------------------------ anchors
+def anchor_grid(height: int, width: int, stride: int,
+                base_anchors: np.ndarray) -> np.ndarray:
+    """Anchor plane for detector tooling
+    (`datasets/benchmarks/RetinaFace/rcnn/cython/anchors.pyx` parity):
+    (H, W, A, 4) anchors = base anchors shifted by the stride grid."""
+    base = np.asarray(base_anchors, np.float32)
+    sw = (np.arange(width, dtype=np.float32) * stride)[None, :, None]
+    sh = (np.arange(height, dtype=np.float32) * stride)[:, None, None]
+    out = np.zeros((height, width, base.shape[0], 4), np.float32)
+    out[..., 0] = base[None, None, :, 0] + sw
+    out[..., 1] = base[None, None, :, 1] + sh
+    out[..., 2] = base[None, None, :, 2] + sw
+    out[..., 3] = base[None, None, :, 3] + sh
+    return out
+
+
 # ---------------------------------------------------------------------- rle
 def rle_encode(mask: np.ndarray, force_numpy: bool = False) -> dict:
     """COCO-style RLE of a binary mask (h, w) — column-major counts starting

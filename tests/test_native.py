@@ -100,3 +100,15 @@ def test_rle_roundtrip_cpp_and_numpy():
     for m in (np.zeros((4, 4), np.uint8), np.ones((4, 4), np.uint8)):
         rle = native.rle_encode(m)
         np.testing.assert_array_equal(native.rle_decode(rle), m)
+
+
+def test_anchor_grid_matches_loop():
+    """anchors.pyx loop semantics."""
+    base = np.array([[-8, -8, 8, 8], [-16, -16, 16, 16]], np.float32)
+    got = native.anchor_grid(3, 4, 16, base)
+    assert got.shape == (3, 4, 2, 4)
+    for ih in range(3):
+        for iw in range(4):
+            for k in range(2):
+                want = base[k] + np.array([iw * 16, ih * 16] * 2)
+                np.testing.assert_array_equal(got[ih, iw, k], want)
