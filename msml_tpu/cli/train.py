@@ -135,9 +135,13 @@ def main(args):
     global_step = int(state.step)
     start_epoch = global_step // max(steps_per_epoch, 1)
     done = False
+    use_procs = hasattr(trainset, "epoch") and cfg.get("nw", 0) > 0 and \
+        not isinstance(trainset, SyntheticDataset)
     for epoch in range(start_epoch, cfg.num_epoch):
         lr_factor = lr_step_factor(cfg, epoch)
-        for batch in device_prefetch(trainset.epoch(epoch), mesh):
+        epoch_iter = (trainset.epoch(epoch, use_processes=True)
+                      if use_procs else trainset.epoch(epoch))
+        for batch in device_prefetch(epoch_iter, mesh):
             state, metrics = step_fn(state, batch, lr_factor, rng)
             global_step += 1
             loss_meter.update(float(metrics["total_loss"]))

@@ -29,6 +29,7 @@ Deviations (documented):
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
@@ -41,6 +42,13 @@ from msml_tpu.data import rand_occ as occ
 from msml_tpu.data.recordio import IndexedRecordIO, imdecode, unpack
 
 logger = logging.getLogger("msml_tpu")
+
+
+_WORKER_DS = None  # set before forking the loader pool
+
+
+def _worker_fetch(args):
+    return _WORKER_DS._fetch(args)
 
 
 def default_occluder_root() -> str:
@@ -247,26 +255,42 @@ class FaceByRandOccMask:
         out_mask = (msk_tmp // 255).astype(np.int32)
         return out_face, out_mask
 
+    def _fetch(self, args):
+        epoch, i = args
+        r = np.random.RandomState(
+            (self.seed * 1000003 + epoch * 10007 + int(i)) % (2 ** 31 - 1))
+        return self.__getitem__(int(i), r)
+
     # -------------------------------------------------------------- batches
-    def epoch(self, epoch: int) -> Iterator[dict]:
+    def epoch(self, epoch: int, use_processes: bool = False
+              ) -> Iterator[dict]:
         """Shuffled batches (the DistributedSampler.set_epoch analogue,
-        train.py:94-95,234); drop_last=True like the reference loader."""
+        train.py:94-95,234); drop_last=True like the reference loader.
+
+        use_processes=True forks a worker pool (the reference's 32
+        DataLoader workers, train.py:96-99) — required to feed multiple
+        TPU chips at full rate, since PIL/cv2 augmentation holds the GIL
+        too often for threads alone. RecordIO handles reopen per process
+        (data/recordio.py fork safety)."""
         assert self.batch_size > 0, "set batch_size for epoch iteration"
         order_rng = np.random.RandomState(self.seed + epoch)
         order = order_rng.permutation(len(self))
         nb = len(self) // self.batch_size
-        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        if use_processes:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            global _WORKER_DS
+            _WORKER_DS = self  # children inherit via fork (no pickling)
+            pool = ctx.Pool(self.num_workers)
+            mapper = functools.partial(pool.imap, _worker_fetch, chunksize=4)
+        else:
+            ex = ThreadPoolExecutor(max_workers=self.num_workers)
+            mapper = functools.partial(ex.map, self._fetch)
         try:
             for b in range(nb):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-
-                def fetch(i):
-                    r = np.random.RandomState(
-                        (self.seed * 1000003 + epoch * 10007 + int(i))
-                        % (2 ** 31 - 1))
-                    return self.__getitem__(int(i), r)
-
-                samples = list(ex.map(fetch, idxs))
+                samples = list(mapper([(epoch, int(i)) for i in idxs]))
                 img = np.stack([s[0] for s in samples])
                 msk = np.stack([s[1] for s in samples])
                 ori = np.stack([s[2] for s in samples])
@@ -276,7 +300,10 @@ class FaceByRandOccMask:
                     batch["ori"] = ori
                 yield batch
         finally:
-            ex.shutdown(wait=False)
+            if use_processes:
+                pool.terminate()
+            else:
+                ex.shutdown(wait=False)
 
 
 def gauss_map(left_top_x: int, left_top_y: int, right_down_x: int,

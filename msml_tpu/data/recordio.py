@@ -68,7 +68,9 @@ class IndexedRecordIO:
         self.idx_path, self.rec_path = idx_path, rec_path
         self.mode = mode
         if mode == "r":
-            self._f = open(rec_path, "rb")
+            self._pid = None
+            self._f = None
+            self._reopen()
             self.idx = {}
             with open(idx_path) as f:
                 for line in f:
@@ -82,8 +84,19 @@ class IndexedRecordIO:
             self.idx = {}
             self.keys = []
 
+    def _reopen(self):
+        """Fork safety: each process gets its own file handle (shared
+        handles across fork race on seek+read — the multiprocess loader
+        relies on this)."""
+        import os
+        if self._pid != os.getpid():
+            self._f = open(self.rec_path, "rb")
+            self._pid = os.getpid()
+
     # -- read --
     def read_idx(self, key: int) -> bytes:
+        if self.mode == "r":
+            self._reopen()
         self._f.seek(self.idx[key])
         magic, lrec = struct.unpack("<II", self._f.read(8))
         if magic != _MAGIC:
@@ -111,6 +124,19 @@ class IndexedRecordIO:
         self._f.close()
         if self.mode == "w":
             self._idx_f.close()
+
+    # picklable (multiprocess loaders): drop the handle, reopen lazily
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        if self.mode == "r":
+            state["_f"] = None
+            state["_pid"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self.mode == "r":
+            self._reopen()
 
     def __len__(self):
         return len(self.keys)

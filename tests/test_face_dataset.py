@@ -111,3 +111,16 @@ def test_gauss_map_range():
     g = gauss_map(0, 0, 112, 112, r, radius=128)
     assert g.shape == (112, 112)
     assert 0 < g.min() and g.max() <= 1.0
+
+
+def test_epoch_multiprocess_matches_threads(tiny_dataset):
+    """Process-pool loading yields byte-identical batches to the thread
+    path (deterministic per-sample RNG), exercising RecordIO fork safety."""
+    root, occl = tiny_dataset
+    ds = FaceByRandOccMask(root, out_size=(112, 112), use_norm=True,
+                           occluder_root=occl, batch_size=4, seed=0,
+                           num_workers=2)
+    b_threads = next(iter(ds.epoch(0)))
+    b_procs = next(iter(ds.epoch(0, use_processes=True)))
+    for k in b_threads:
+        np.testing.assert_array_equal(b_threads[k], b_procs[k])
