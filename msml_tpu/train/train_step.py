@@ -99,6 +99,11 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     use_osb = bool(cfg.use_osb)
     use_ori = bool(cfg.peer_params.get("use_ori"))
     lambda1 = float(cfg.lambda1)
+    # The reference adds the scalar KD loss to every logit (msml.py:171),
+    # which is softmax-CE-invariant — KD has *zero* gradient effect there.
+    # kd_loss_weight > 0 makes it a real loss term (capability the paper
+    # intends); 0.0 keeps reference behavior.
+    kd_weight = float(cfg.get("kd_loss_weight", 0.0))
     clip_norm = float(cfg.grad_clip_norm)
     wd = float(cfg.weight_decay)
     momentum_coef = float(cfg.momentum)
@@ -140,8 +145,8 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
             else:
                 seg_loss = jnp.float32(0.0)
 
-            total = cls_loss + lambda1 * seg_loss
             kd = lax.pmean(jnp.asarray(kd, jnp.float32), axis)
+            total = cls_loss + lambda1 * seg_loss + kd_weight * kd
             aux_out = dict(batch_stats=mutated["batch_stats"], nll=nll,
                            cls_loss=cls_loss, seg_loss=seg_loss, kd=kd,
                            sample_index=sample_index)
