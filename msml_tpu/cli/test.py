@@ -39,9 +39,13 @@ def main(args):
 
     mesh = make_mesh()
     policy = policy_from_config(bool(cfg.get("fp16", True)))
-    model = msml_from_config(cfg, policy=policy)
+    # the restore template must match how training constructed the state
+    # (PFC-trained checkpoints carry the class-sharded weight)
+    use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
+        cfg.get("use_partial_fc", False))
+    model = msml_from_config(cfg, policy=policy, external_header=use_pfc)
     rng = jax.random.PRNGKey(0)
-    state = init_train_state(model, cfg, rng, mesh)
+    state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
     restored = ckpt.restore_checkpoint(args.weight_folder, state)
     if restored is None:
         raise FileNotFoundError(

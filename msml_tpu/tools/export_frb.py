@@ -63,8 +63,12 @@ def main(args):
     cfg = load_yaml(os.path.join(args.weight_folder, "config.yaml"))
     cfg.out_folder = os.path.dirname(args.weight_folder.rstrip("/")) or "out"
     config_init(cfg, make_output_dir=False)
-    model = msml_from_config(cfg, policy=policy_from_config(False))
-    state = init_train_state(model, cfg, jax.random.PRNGKey(0), make_mesh())
+    use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
+        cfg.get("use_partial_fc", False))
+    model = msml_from_config(cfg, policy=policy_from_config(False),
+                             external_header=use_pfc)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), make_mesh(),
+                             use_pfc=use_pfc)
     restored = ckpt.restore_checkpoint(args.weight_folder, state)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint in {args.weight_folder}")

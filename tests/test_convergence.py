@@ -50,13 +50,14 @@ def test_loss_decreases():
 
     data_rng = np.random.RandomState(0)
     losses = []
-    for i in range(30):
+    for i in range(20):
         batch = _class_batch(data_rng, cfg.batch_size * mesh.shape["data"])
         state, metrics = step(state, batch, 1.0, rng)
         losses.append(float(metrics["cls_loss"]))
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
     assert np.isfinite(last)
-    # measured trajectory: ~33 -> ~24 over 30 steps (clip-5 limits step size
-    # exactly like the reference's clip_grad_norm_); 0.85 is a robust bound
-    assert last < first * 0.85, (first, last, losses)
+    # measured trajectory: ~33 -> ~26 by step 20, ~24 by step 30 (clip-5
+    # limits step size exactly like the reference's clip_grad_norm_);
+    # 0.9 at 20 steps is a robust bound
+    assert last < first * 0.9, (first, last, losses)
