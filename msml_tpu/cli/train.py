@@ -72,8 +72,13 @@ def main(args):
         cfg = default_config()
         cfg.dataset = "synthetic"
     config_init(cfg)
+    # self-describing weight folder (train.py:71-72 / qeval_mxnet.py:515-517)
     if args.config and os.path.exists(args.config):
         shutil.copy(args.config, os.path.join(cfg.output, "config.yaml"))
+    else:
+        from msml_tpu.core.config import save_yaml, user_config_dict
+        save_yaml(user_config_dict(cfg),
+                  os.path.join(cfg.output, "config.yaml"))
 
     logger = init_logging(cfg.output)
     mesh = make_mesh()
@@ -155,6 +160,11 @@ def main(args):
                         float(metrics["cls_loss"]), float(metrics["kd"]),
                         float(metrics["grad_norm"])))
             callback_verification(global_step)
+            if args.ckpt_every and global_step % args.ckpt_every == 0:
+                # crash-safe mid-epoch checkpoint (the reference only saves
+                # per epoch, train.py:366 — SURVEY §5 'crash-safety: none')
+                ckpt.save_checkpoint(cfg.output, state, global_step)
+                logger.info("periodic checkpoint at step %d" % global_step)
             if args.steps and global_step >= args.steps:
                 done = True
                 break
@@ -179,6 +189,8 @@ def parse_args(argv=None):
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--ver-every", type=int, default=8000,
                    help="verification cadence (train.py:215)")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="crash-safe mid-epoch checkpoint interval (steps)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--platform", type=str, default="",
                    help="override jax platform (e.g. cpu for smoke runs)")

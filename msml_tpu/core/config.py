@@ -184,6 +184,26 @@ def _config_exp(cfg: Config, make_output_dir: bool) -> None:
         os.makedirs(cfg.output, exist_ok=True)
 
 
+USER_KEYS = ("dataset", "fp16", "batch_size", "frb_type", "osb_type",
+             "use_osb", "fm_layers", "fm_params", "peer_params",
+             "header_type", "header_params", "exp_id", "output_prefix",
+             "num_classes", "num_epoch", "sample_rate", "use_partial_fc",
+             "remat", "kd_loss_weight", "decoder_loss_weight", "rec",
+             "out_folder", "dropout")
+"""The user-level config surface (reference config.yaml keys + our
+extensions); what gets persisted next to weights."""
+
+
+def user_config_dict(cfg: Config) -> dict:
+    def plain(v):
+        if isinstance(v, tuple):
+            return list(v)
+        if isinstance(v, dict):
+            return {k: plain(x) for k, x in v.items()}
+        return v
+    return {k: plain(cfg[k]) for k in USER_KEYS if k in cfg}
+
+
 def save_yaml(cfg_raw: dict, path: str) -> None:
     """Persist the *user-level* config next to weights (reference train.py:71-72)."""
     with open(path, "w") as f:

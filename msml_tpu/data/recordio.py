@@ -68,9 +68,7 @@ class IndexedRecordIO:
         self.idx_path, self.rec_path = idx_path, rec_path
         self.mode = mode
         if mode == "r":
-            self._pid = None
-            self._f = None
-            self._reopen()
+            self._local = None
             self.idx = {}
             with open(idx_path) as f:
                 for line in f:
@@ -84,28 +82,32 @@ class IndexedRecordIO:
             self.idx = {}
             self.keys = []
 
-    def _reopen(self):
-        """Fork safety: each process gets its own file handle (shared
-        handles across fork race on seek+read — the multiprocess loader
-        relies on this)."""
+    def _handle(self):
+        """Thread- AND fork-safe read handle: seek+read on a shared handle
+        races across threads (the threaded loader) and across forked
+        processes (the multiprocess loader) — every thread in every process
+        gets its own fd via threading.local (reset by pid on fork)."""
         import os
-        if self._pid != os.getpid():
-            self._f = open(self.rec_path, "rb")
-            self._pid = os.getpid()
+        import threading
+        if self._local is None or self._local["pid"] != os.getpid():
+            self._local = {"pid": os.getpid(), "tl": threading.local()}
+        tl = self._local["tl"]
+        if not hasattr(tl, "f"):
+            tl.f = open(self.rec_path, "rb")
+        return tl.f
 
     # -- read --
     def read_idx(self, key: int) -> bytes:
-        if self.mode == "r":
-            self._reopen()
-        self._f.seek(self.idx[key])
-        magic, lrec = struct.unpack("<II", self._f.read(8))
+        f = self._handle() if self.mode == "r" else self._f
+        f.seek(self.idx[key])
+        magic, lrec = struct.unpack("<II", f.read(8))
         if magic != _MAGIC:
             raise IOError(f"bad record magic at key {key}: {magic:#x}")
         cflag = lrec >> 29
         length = lrec & ((1 << 29) - 1)
         if cflag != 0:
             raise NotImplementedError("multi-part records not supported")
-        return self._f.read(length)
+        return f.read(length)
 
     # -- write --
     def write_idx(self, key: int, payload: bytes) -> None:
@@ -121,22 +123,21 @@ class IndexedRecordIO:
         self.keys.append(key)
 
     def close(self):
-        self._f.close()
         if self.mode == "w":
+            self._f.close()
             self._idx_f.close()
+        else:
+            self._local = None
 
-    # picklable (multiprocess loaders): drop the handle, reopen lazily
+    # picklable (multiprocess loaders): drop handles, reopen lazily
     def __getstate__(self):
         state = self.__dict__.copy()
         if self.mode == "r":
-            state["_f"] = None
-            state["_pid"] = None
+            state["_local"] = None
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        if self.mode == "r":
-            self._reopen()
 
     def __len__(self):
         return len(self.keys)

@@ -124,3 +124,25 @@ def test_epoch_multiprocess_matches_threads(tiny_dataset):
     b_procs = next(iter(ds.epoch(0, use_processes=True)))
     for k in b_threads:
         np.testing.assert_array_equal(b_threads[k], b_procs[k])
+
+
+def test_recordio_thread_hammer(tiny_dataset):
+    """Many threads reading concurrently must never corrupt reads
+    (regression: shared-handle seek+read race)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from msml_tpu.data.recordio import unpack
+    root, _ = tiny_dataset
+    rec = IndexedRecordIO(os.path.join(root, "train.idx"),
+                          os.path.join(root, "train.rec"))
+    want = {k: rec.read_idx(k) for k in rec.keys}
+
+    def read_many(seed):
+        rng = np.random.RandomState(seed)
+        for _ in range(200):
+            k = rec.keys[rng.randint(len(rec.keys))]
+            payload = rec.read_idx(k)
+            assert payload == want[k]
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        assert all(ex.map(read_many, range(8)))
