@@ -46,7 +46,8 @@ def build_dataset(cfg, args, world: int):
     return FaceByRandOccMask(
         root_dir=cfg.rec, batch_size=cfg.batch_size * world,
         out_size=cfg.out_size, use_norm=cfg.use_norm, is_gray=cfg.is_gray,
-        use_ori=bool(cfg.peer_params.get("use_ori")), occ=bool(args.occ))
+        use_ori=bool(cfg.peer_params.get("use_ori")), occ=bool(args.occ),
+        num_workers=int(cfg.get("nw", 16)) or 16, seed=args.seed)
 
 
 def main(args):
@@ -99,6 +100,9 @@ def main(args):
                                                 cfg.header_params))
 
     state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
+    # pretrained backbone/peer overlay (iresnet.py:410-442 / peer loaders)
+    from msml_tpu.tools.load_weights import load_pretrained
+    state = load_pretrained(state, cfg)
     lr_scales = optim.build_lr_scales(state.params, cfg, world)
     step_fn = make_train_step(model, cfg, mesh, lr_scales, pfc)
 
@@ -168,12 +172,13 @@ def main(args):
             if args.steps and global_step >= args.steps:
                 done = True
                 break
-        ckpt.save_checkpoint(cfg.output, state, global_step,
-                             extra={"epoch": epoch})
+        ckpt.save_checkpoint(cfg.output, state, global_step)
         logger.info("checkpoint saved at step %d (epoch %d)"
                     % (global_step, epoch))
         if done:
             break
+    if hasattr(trainset, "close"):
+        trainset.close()
     logger.info("training finished at step %d" % global_step)
     return state
 

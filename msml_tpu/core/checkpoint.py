@@ -26,12 +26,9 @@ def _manager(output_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
                                                    create=True))
 
 
-def save_checkpoint(output_dir: str, state: Any, step: int,
-                    extra: Optional[dict] = None) -> None:
-    """`extra` is accepted for API stability but not persisted: the payload
-    must structurally match the restore template (epoch etc. derive from
-    state.step)."""
-    del extra
+def save_checkpoint(output_dir: str, state: Any, step: int) -> None:
+    """The payload is exactly {'state': state} so it structurally matches the
+    restore template; derive epoch etc. from state.step."""
     mngr = _manager(output_dir)
     mngr.save(step, args=ocp.args.StandardSave({"state": state}))
     mngr.wait_until_finished()

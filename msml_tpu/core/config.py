@@ -189,7 +189,7 @@ USER_KEYS = ("dataset", "fp16", "batch_size", "frb_type", "osb_type",
              "header_type", "header_params", "exp_id", "output_prefix",
              "num_classes", "num_epoch", "sample_rate", "use_partial_fc",
              "remat", "kd_loss_weight", "decoder_loss_weight", "rec",
-             "out_folder", "dropout")
+             "out_folder", "dropout", "pretrained_backbone", "peer_weights")
 """The user-level config surface (reference config.yaml keys + our
 extensions); what gets persisted next to weights."""
 

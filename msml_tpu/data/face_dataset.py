@@ -44,7 +44,12 @@ from msml_tpu.data.recordio import IndexedRecordIO, imdecode, unpack
 logger = logging.getLogger("msml_tpu")
 
 
-_WORKER_DS = None  # set before forking the loader pool
+_WORKER_DS = None  # installed in pool workers by _init_worker
+
+
+def _init_worker(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
 
 
 def _worker_fetch(args):
@@ -267,22 +272,20 @@ class FaceByRandOccMask:
         """Shuffled batches (the DistributedSampler.set_epoch analogue,
         train.py:94-95,234); drop_last=True like the reference loader.
 
-        use_processes=True forks a worker pool (the reference's 32
+        use_processes=True uses a spawned worker pool (the reference's 32
         DataLoader workers, train.py:96-99) — required to feed multiple
         TPU chips at full rate, since PIL/cv2 augmentation holds the GIL
-        too often for threads alone. RecordIO handles reopen per process
-        (data/recordio.py fork safety)."""
+        too often for threads alone. spawn (not fork) because the caller
+        has usually already initialized the multithreaded JAX/TPU client;
+        the pool is created once and reused across epochs (call close()
+        when done)."""
         assert self.batch_size > 0, "set batch_size for epoch iteration"
         order_rng = np.random.RandomState(self.seed + epoch)
         order = order_rng.permutation(len(self))
         nb = len(self) // self.batch_size
 
         if use_processes:
-            import multiprocessing as mp
-            ctx = mp.get_context("fork")
-            global _WORKER_DS
-            _WORKER_DS = self  # children inherit via fork (no pickling)
-            pool = ctx.Pool(self.num_workers)
+            pool = self._get_pool()
             mapper = functools.partial(pool.imap, _worker_fetch, chunksize=4)
         else:
             ex = ThreadPoolExecutor(max_workers=self.num_workers)
@@ -300,10 +303,26 @@ class FaceByRandOccMask:
                     batch["ori"] = ori
                 yield batch
         finally:
-            if use_processes:
-                pool.terminate()
-            else:
+            if not use_processes:
                 ex.shutdown(wait=False)
+
+    def _get_pool(self):
+        if getattr(self, "_pool", None) is None:
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(self.num_workers, initializer=_init_worker,
+                                  initargs=(self,))
+        return self._pool
+
+    def close(self):
+        if getattr(self, "_pool", None) is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_pool"] = None  # pools never cross process boundaries
+        return state
 
 
 def gauss_map(left_top_x: int, left_top_y: int, right_down_x: int,

@@ -4,6 +4,10 @@ The TPU-native replacement for `DataLoaderX`'s background-thread generator +
 CUDA-stream H2D prefetch (`datasets/dataloaderx.py:12-67`): a worker thread
 prepares and `jax.device_put`s batches with the right sharding while the
 device computes, keeping N batches in flight (double buffering by default).
+
+The generator is safe to abandon early (e.g. a `break` out of the training
+loop): closing it stops the worker thread and closes the inner iterator, so
+dataset resources (worker pools) are released.
 """
 
 from __future__ import annotations
@@ -17,6 +21,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msml_tpu.core.mesh import DATA_AXIS
 
+_SENTINEL = object()
+
 
 def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2):
     """Yield batches already transferred and sharded over the data axis."""
@@ -26,24 +32,48 @@ def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2):
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     q: queue.Queue = queue.Queue(maxsize=depth)
-    sentinel = object()
+    stop = threading.Event()
     err: list = []
+
+    def _enqueue(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in it:
-                q.put(put(batch))
+                if not _enqueue(put(batch)):
+                    break
         except Exception as e:  # surface loader errors on the main thread
             err.append(e)
         finally:
-            q.put(sentinel)
+            if hasattr(it, "close"):
+                try:
+                    it.close()
+                except Exception:
+                    pass
+            _enqueue(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # drain so a blocked worker can observe stop and exit
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -163,6 +163,7 @@ def extract_embeddings(data_list: List[np.ndarray],
     """Batched extraction with the reference's overlapping-tail-window idiom
     (verification.py:259-281). data_list: [orig, flipped] uint8-scale arrays
     (N, H, W, 3) in [0, 255]."""
+    batch_size = min(batch_size, data_list[0].shape[0])  # tiny-set safety
     embeddings_list = []
     for data in data_list:
         if is_gray:

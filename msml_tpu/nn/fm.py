@@ -11,8 +11,9 @@ Parity target: `backbones/fm/fmoperator.py:35-325`:
   * `FMNone` (314-325): identity pass-through.
 
 This op is MSML's inner hot path (4 calls per step, inside every backbone
-stage); the whole chain is elementwise+small-conv and fuses under XLA. A
-Pallas fused variant lives in kernels/fused_fm.py.
+stage); the whole chain is elementwise+small-conv and fuses under XLA
+(measured at 8.2 ms of the 42 ms flagship step — see PERF.md; a Pallas
+fusion is future work, blocked on cross-batch BN statistics in train mode).
 """
 
 from __future__ import annotations
@@ -79,9 +80,11 @@ class FMCnn(nn.Module):
 
     @nn.compact
     def __call__(self, yf: jnp.ndarray, yo: jnp.ndarray,
-                 yt: Optional[jnp.ndarray] = None
+                 yt: Optional[jnp.ndarray] = None, train: bool = False
                  ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        train = yt is not None  # 'yt != None' means training (fmoperator.py:299)
+        # `train` drives BatchNorm mode (torch module-mode parity); KD is
+        # computed only when yt is given ('yt != None' means training,
+        # fmoperator.py:299)
         cdt = self.policy.compute_dtype
         identity = yf.astype(cdt)
         x = jnp.concatenate([identity, yo.astype(cdt)], axis=-1)
@@ -151,5 +154,5 @@ class FMNone(nn.Module):
     """`fmoperator.py:314-325`: do nothing."""
 
     @nn.compact
-    def __call__(self, yf, yo, yt=None):
+    def __call__(self, yf, yo, yt=None, train: bool = False):
         return yf, None

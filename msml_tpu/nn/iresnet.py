@@ -121,7 +121,7 @@ class IResNet(nn.Module):
         for i in range(4):
             x = stage_cls(planes[i], self.layers[i], 2, cdt,
                           name=f"layer{i + 1}")(x, train)
-            x, kd = self.fm_ops[i](x, segs[i], peer_feats[i])
+            x, kd = self.fm_ops[i](x, segs[i], peer_feats[i], train)
             if kd is not None:
                 kd_losses.append(kd)
 
@@ -130,7 +130,8 @@ class IResNet(nn.Module):
         # Recover decoder (`iresnet.py:146-150,227-228`): params exist whenever
         # use_decoder; the loss only participates when decoder_loss_weight > 0
         # (the reference's tuple-assignment bug zeroes it unconditionally).
-        rec_loss = 0.0
+        # The weighted loss is sown into the 'losses' collection so the train
+        # step adds it to the total *independently* of kd_loss_weight.
         if self.use_decoder:
             decoder = DeepMindDecoder(n_init=self.dim_feature,
                                       out_channels=3, policy=self.policy,
@@ -139,7 +140,9 @@ class IResNet(nn.Module):
                                           and ori is not None):
                 _rec, l4 = decoder(x, ori if ori is not None else
                                    jnp.zeros((x.shape[0], 112, 112, 3), cdt))
-                rec_loss = self.decoder_loss_weight * l4
+                self.sow("losses", "rec",
+                         self.decoder_loss_weight * jnp.asarray(l4,
+                                                                jnp.float32))
 
         x = flatten_nhwc(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -151,7 +154,7 @@ class IResNet(nn.Module):
                          epsilon=1e-5, use_scale=False, use_bias=True,
                          dtype=jnp.float32, name="features")(x)
 
-        kd = sum(kd_losses) + rec_loss if kd_losses else rec_loss
+        kd = sum(kd_losses) if kd_losses else 0.0
         return x, kd
 
 

@@ -109,15 +109,15 @@ class LightCNN29v2(nn.Module):
 
         x = mfm(48, 5, 1, 2, cdt, name="conv1")(x)
         x = max_avg_pool2(x)                       # (64, 64, 48)
-        x, l0 = self.fm_ops[0](x, segs[0], peer_feats[0])
+        x, l0 = self.fm_ops[0](x, segs[0], peer_feats[0], train)
 
         x = _LightTrunkStage(self.layers[0], 48, 96, cdt, name="stage1")(x)
         x = max_avg_pool2(x)                       # (32, 32, 96)
-        x, l1 = self.fm_ops[1](x, segs[1], peer_feats[1])
+        x, l1 = self.fm_ops[1](x, segs[1], peer_feats[1], train)
 
         x = _LightTrunkStage(self.layers[1], 96, 192, cdt, name="stage2")(x)
         x = max_avg_pool2(x)                       # (16, 16, 192)
-        x, l2 = self.fm_ops[2](x, segs[2], peer_feats[2])
+        x, l2 = self.fm_ops[2](x, segs[2], peer_feats[2], train)
 
         for i in range(self.layers[2]):
             x = MfmResblock(192, cdt, name=f"stage3_block{i}")(x)
@@ -126,7 +126,7 @@ class LightCNN29v2(nn.Module):
             x = MfmResblock(128, cdt, name=f"stage4_block{i}")(x)
         x = Group(128, cdt, name="group4")(x)
         x = max_avg_pool2(x)                       # (8, 8, 128)
-        x, l3 = self.fm_ops[3](x, segs[3], peer_feats[3])
+        x, l3 = self.fm_ops[3](x, segs[3], peer_feats[3], train)
 
         x = flatten_nhwc(x)
         x = nn.Dense(self.dim_feature, use_bias=True, dtype=jnp.float32,

@@ -77,17 +77,27 @@ def write_lists(root: str, out_dir: str, val_every: int = 10,
             fver.write(rng.choice(ids[n2]) + "\n")
             counts["neg"] += 1
 
-    # pairs.txt in the folder-eval format (eval/folder_eval.py)
+    # pairs.txt in the folder-eval format (eval/folder_eval.py). folder_eval
+    # keys identities by the *actual directory names*, so PKU's '<id>_0' /
+    # '<id>_1' variants are kept distinct here (unlike ver_pairs.txt above,
+    # which pairs across the collapsed identity).
+    raw_dirs = {d: sorted(f for f in os.listdir(os.path.join(root, d))
+                          if f.lower().endswith((".jpg", ".jpeg", ".png",
+                                                 ".bmp")))
+                for d in sorted(os.listdir(root))
+                if os.path.isdir(os.path.join(root, d))}
+    raw_dirs = {d: v for d, v in raw_dirs.items() if v}
+    dnames = sorted(raw_dirs)
     with open(os.path.join(out_dir, "pairs.txt"), "w") as fp:
-        multi = [n for n in names if len(ids[n]) >= 2]
+        multi = [d for d in dnames if len(raw_dirs[d]) >= 2]
         for _ in range(n_pairs // 2):
-            name = rng.choice(multi)
-            i, j = rng.sample(range(len(ids[name])), 2)
-            fp.write(f"{name} {i + 1} {j + 1}\n")
+            d = rng.choice(multi)
+            i, j = rng.sample(range(len(raw_dirs[d])), 2)
+            fp.write(f"{d} {i + 1} {j + 1}\n")
         for _ in range(n_pairs - n_pairs // 2):
-            n1, n2 = rng.sample(names, 2)
-            fp.write(f"{n1} {rng.randrange(len(ids[n1])) + 1} "
-                     f"{n2} {rng.randrange(len(ids[n2])) + 1}\n")
+            d1, d2 = rng.sample(dnames, 2)
+            fp.write(f"{d1} {rng.randrange(len(raw_dirs[d1])) + 1} "
+                     f"{d2} {rng.randrange(len(raw_dirs[d2])) + 1}\n")
 
     print(f"lists written to {out_dir}: {counts}")
     return counts

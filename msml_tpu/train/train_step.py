@@ -124,8 +124,13 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
             outs, mutated = model.apply(
                 variables, img, None if use_pfc else label, ori,
                 train=True, rngs={"dropout": step_rng},
-                mutable=["batch_stats"])
+                mutable=["batch_stats", "losses"])
             head_out, final_seg, kd = outs
+            # recover-decoder loss, already scaled by decoder_loss_weight
+            # (sown in nn/iresnet.py; independent of kd_loss_weight)
+            rec_loss = sum(jnp.asarray(v, jnp.float32).sum()
+                           for v in jax.tree.leaves(
+                               mutated.get("losses", {})))
 
             if use_pfc:
                 cls_loss, pfc_aux = pfc.loss(pfc_weight, head_out, label,
@@ -146,7 +151,9 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                 seg_loss = jnp.float32(0.0)
 
             kd = lax.pmean(jnp.asarray(kd, jnp.float32), axis)
-            total = cls_loss + lambda1 * seg_loss + kd_weight * kd
+            rec_loss = lax.pmean(jnp.asarray(rec_loss, jnp.float32), axis)
+            total = (cls_loss + lambda1 * seg_loss + kd_weight * kd
+                     + rec_loss)
             aux_out = dict(batch_stats=mutated["batch_stats"], nll=nll,
                            cls_loss=cls_loss, seg_loss=seg_loss, kd=kd,
                            sample_index=sample_index)

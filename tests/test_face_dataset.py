@@ -121,7 +121,10 @@ def test_epoch_multiprocess_matches_threads(tiny_dataset):
                            occluder_root=occl, batch_size=4, seed=0,
                            num_workers=2)
     b_threads = next(iter(ds.epoch(0)))
-    b_procs = next(iter(ds.epoch(0, use_processes=True)))
+    try:
+        b_procs = next(iter(ds.epoch(0, use_processes=True)))
+    finally:
+        ds.close()
     for k in b_threads:
         np.testing.assert_array_equal(b_threads[k], b_procs[k])
 

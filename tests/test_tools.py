@@ -150,3 +150,48 @@ def test_align_dataset_with_landmark_file(tmp_path):
     # alignment is a pure translation here: crop ~= img[20:132, 20:132]
     np.testing.assert_allclose(crop.astype(int),
                                img[20:132, 20:132].astype(int), atol=6)
+
+
+def test_load_pretrained_roundtrip(tmp_path):
+    """export_frb npz -> load_pretrained into a fresh state: frb and peer
+    subtrees must carry the exported weights."""
+    from msml_tpu.core.config import Config, config_init
+    from msml_tpu.core.mesh import make_mesh
+    from msml_tpu.nn.msml import msml_from_config
+    from msml_tpu.tools.export_frb import save_npz
+    from msml_tpu.tools.load_weights import load_pretrained
+    from msml_tpu.train.train_step import init_train_state
+
+    cfg = Config.from_dict({
+        "dataset": "synthetic", "fp16": False, "batch_size": 2,
+        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
+        "fm_layers": [1, 1, 1, 1], "fm_params": [3, 2, "sigmoid", "mul"],
+        "peer_params": {"use_ori": True, "use_conv": False,
+                        "mask_trans": "conv", "use_decoder": False},
+        "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0.0, 0.0],
+        "exp_id": 0, "output_prefix": "lw", "num_classes": 16,
+        "out_folder": "/tmp/msml_test_out"})
+    config_init(cfg)
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    donor = init_train_state(model, cfg, rng, mesh)
+    # export donor frb, perturbed so it differs from a PRNGKey(0) init
+    frb_p = jax.tree.map(lambda x: np.asarray(x) + 0.25,
+                         jax.device_get(donor.params["frb"]))
+    frb_s = jax.device_get(donor.batch_stats["frb"])
+    path = str(tmp_path / "frb.npz")
+    save_npz(path, frb_p, frb_s)
+
+    cfg.pretrained_backbone = path
+    cfg.peer_weights = path
+    fresh = init_train_state(model, cfg, rng, mesh)
+    loaded = load_pretrained(fresh, cfg)
+    got = jax.device_get(loaded.params["frb"]["conv1"]["kernel"])
+    np.testing.assert_allclose(got, frb_p["conv1"]["kernel"], rtol=1e-6)
+    got_peer = jax.device_get(loaded.params["peer"]["conv1"]["kernel"])
+    np.testing.assert_allclose(got_peer, frb_p["conv1"]["kernel"], rtol=1e-6)
+    # fm ops stay freshly initialised (not covered by the frb export)
+    np.testing.assert_allclose(
+        jax.device_get(loaded.params["fm_op0"]["same_conv"]["kernel"]),
+        jax.device_get(fresh.params["fm_op0"]["same_conv"]["kernel"]))

@@ -143,3 +143,42 @@ def test_train_step_lightcnn_gray():
     state, hist, model, mesh = _run_steps(cfg, use_pfc=False, n=1)
     assert np.isfinite(hist[0]["total_loss"])
     assert hist[0]["seg_loss"] > 0
+
+
+def test_fm_batchnorm_updates_without_peer():
+    """Regression: FM-operator BatchNorms must follow the real train flag,
+    not `yt is not None` — with use_ori=False their batch stats still have
+    to update during training (fmoperator.py BNs follow torch module mode)."""
+    cfg = _cfg()  # use_ori False, fm_layers all on
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh)
+    before = jax.device_get(state.batch_stats["fm_op0"])
+    lr_scales = optim.build_lr_scales(state.params, cfg, mesh.shape["data"])
+    step = make_train_step(model, cfg, mesh, lr_scales)
+    state, _ = step(state, _batch(cfg, mesh), 1.0, rng)
+    after = jax.device_get(state.batch_stats["fm_op0"])
+    moved = max(float(np.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(before), jax.tree.leaves(after)))
+    assert moved > 0, "fm_op batch stats frozen"
+
+
+def test_decoder_loss_weight_live():
+    """decoder_loss_weight > 0 must contribute gradient to the decoder
+    (regression: it used to be silently gated behind kd_loss_weight)."""
+    cfg = _cfg(peer_params={"use_ori": True, "use_conv": False,
+                            "mask_trans": "conv", "use_decoder": True},
+               decoder_loss_weight=0.5)
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh)
+    dec_before = jax.device_get(state.params["frb"]["decoder"])
+    lr_scales = optim.build_lr_scales(state.params, cfg, mesh.shape["data"])
+    step = make_train_step(model, cfg, mesh, lr_scales)
+    state, metrics = step(state, _batch(cfg, mesh), 1.0, rng)
+    dec_after = jax.device_get(state.params["frb"]["decoder"])
+    moved = max(float(np.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(dec_before), jax.tree.leaves(dec_after)))
+    assert moved > 0, "decoder got no gradient"
