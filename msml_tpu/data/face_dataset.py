@@ -325,6 +325,17 @@ class FaceByRandOccMask:
         return state
 
 
+class MXFaceDataset(FaceByRandOccMask):
+    """Plain rec reader parity (`datasets/load_dataset.py:344-396`): resize /
+    flip / normalize, no occlusion augmentation. Yields the same 4-tuple
+    contract with an all-clean mask and ori == the unflipped-augmented image
+    (the train step simply ignores what it doesn't use)."""
+
+    def __init__(self, root_dir: str, **kw):
+        kw.setdefault("use_norm", True)
+        super().__init__(root_dir, occ=False, **kw)
+
+
 def gauss_map(left_top_x: int, left_top_y: int, right_down_x: int,
               right_down_y: int, r, center_x=(), center_y=(),
               radius: int = -1, metric: str = "Euclidean") -> np.ndarray:

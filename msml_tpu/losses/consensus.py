@@ -26,41 +26,43 @@ Layout: NHWC — logit (N, H, W, C), blobs/target (N, H, W) integer maps.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
-from jax.nn import softmax
 
 
-def _blob_loss(prob: jnp.ndarray, idx_blob: jnp.ndarray, s: int,
-               alpha: float, beta: float) -> jnp.ndarray:
-    n, h, w, c = prob.shape
-    idx = idx_blob[..., None].astype(prob.dtype)            # (N,H,W,1)
-    prob_blob = prob * idx                                   # (N,H,W,C)
-    support = idx.sum(axis=(1, 2))                           # (N,1) pixels in blob
-    has_blob = support[:, 0] > 0                             # (N,)
+def _blob_loss(p: jnp.ndarray, logp: jnp.ndarray, idx_blob: jnp.ndarray,
+               s: int, alpha: float, beta: float) -> jnp.ndarray:
+    """Per-blob loss using reductions only.
+
+    Because the blob-mean t is constant across the blob's pixels, the KL
+    deviation collapses analytically:
+      sum_{pixels in blob} sum_c t_c (log t_c - log p_c)
+        = cnt * sum_c t_c log t_c - sum_c t_c * (sum_{blob} log p_c)
+    so no (N, H, W, C) temporaries are materialised (the naive masked-KL form
+    costs three extra full-resolution f32 tensors — measurable HBM traffic
+    at 112x112 per step).
+    """
+    mask = idx_blob[..., None].astype(p.dtype)               # (N,H,W,1)
+    cnt = mask.sum(axis=(1, 2))                              # (N,1)
+    has_blob = cnt[:, 0] > 0
+    S = (p * mask).sum(axis=(1, 2))                          # (N,C) sum prob
+    L = (logp * mask).sum(axis=(1, 2))                       # (N,C) sum logp
 
     # blob-mean prob per (n, c); 0 where the sample lacks the blob
     # (consensus_loss.py:127-136, custom_div)
-    psum = prob_blob.sum(axis=(1, 2))                        # (N,C)
-    prob_blob_mean = jnp.where(support > 0, psum / jnp.maximum(support, 1.0),
-                               0.0)
+    m = jnp.where(cnt > 0, S / jnp.maximum(cnt, 1.0), 0.0)   # (N,C)
 
     # 1. label NLL of the blob mean (consensus_loss.py:138-144); the blob id
     # doubles as the class label since target == blobs for binary masks.
-    p_target = prob_blob_mean[:, s]
     loss_avg = jnp.where(has_blob,
-                         -jnp.log(jnp.maximum(p_target, 1e-30)), 0.0)
-    loss_avg = loss_avg.mean()
+                         -jnp.log(jnp.maximum(m[:, s], 1e-30)), 0.0).mean()
 
-    # 2. consensus deviation: KL(blob-mean || per-pixel) over in-blob pixels
-    # (consensus_loss.py:149-164). Outside the blob prob_blob == 0 and both
-    # log terms are forced to contribute zero, as in the reference's masking.
-    in_blob = prob_blob > 0                                  # (N,H,W,C)
-    t = prob_blob_mean[:, None, None, :]                     # broadcast mean
-    log_x = jnp.where(in_blob, jnp.log(jnp.maximum(prob_blob, 1e-30)), 0.0)
-    log_t = jnp.where(in_blob, jnp.log(jnp.maximum(t, 1e-30)), 0.0)
-    kl = jnp.where(in_blob, t * (log_t - log_x), 0.0)
-    denom = jnp.maximum(in_blob.sum(), 1)
-    loss_dev = kl.sum() / denom
+    # 2. consensus deviation (consensus_loss.py:149-164), closed form above;
+    # softmax probs are strictly positive so in-blob == mask everywhere.
+    logm = jnp.where(m > 0, jnp.log(jnp.maximum(m, 1e-30)), 0.0)
+    dev = (cnt[:, 0] * (m * logm).sum(-1) - (m * L).sum(-1)).sum()
+    denom = jnp.maximum(cnt.sum() * p.shape[-1], 1.0)
+    loss_dev = dev / denom
 
     return alpha * loss_avg + beta * loss_dev, has_blob.any()
 
@@ -76,11 +78,13 @@ def structure_consensus_loss(logit: jnp.ndarray, blobs: jnp.ndarray,
            (blobs == target, `train.py:255-258`).
     """
     del target  # target == blobs for the binary-mask training path
-    prob = softmax(logit.astype(jnp.float32), axis=-1)
+    logit = logit.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logit, axis=-1)
+    p = jnp.exp(logp)
     total = 0.0
     count = 0.0
     for s in range(num_blob_ids):
-        loss_s, present = _blob_loss(prob, blobs == s, s, alpha, beta)
+        loss_s, present = _blob_loss(p, logp, blobs == s, s, alpha, beta)
         w = present.astype(jnp.float32)
         total = total + w * loss_s
         count = count + w
