@@ -63,6 +63,7 @@ class MSML(nn.Module):
     # train step); training forward then returns (feature, final_seg, kd).
     external_header: bool = False
     remat: bool = False
+    remat_fm: bool = False
     policy: Policy = DEFAULT_POLICY
 
     def setup(self):
@@ -78,12 +79,18 @@ class MSML(nn.Module):
         self.dim_feature = dim_feature
 
         kernel_size, num_res, act, arith = self.fm_params
+        # remat_fm: rematerialize only the FM operators in the backward —
+        # their elementwise/BN chains dominate saved activations while their
+        # recompute is cheap (PERF.md)
+        fm_cls = FMCnn
+        if self.remat_fm:
+            fm_cls = nn.remat(FMCnn, static_argnums=(4,))
         fm_ops = []
         for i in range(4):
             if self.fm_layers[i] == 0:
                 fm_ops.append(FMNone(name=f"fm_op{i}"))
             elif self.fm_layers[i] == 1:
-                fm_ops.append(FMCnn(
+                fm_ops.append(fm_cls(
                     channel_f=f_channels[i], kernel_size=kernel_size,
                     resblocks=num_res, activation=act, arith_strategy=arith,
                     use_ori=self.use_ori, use_conv=self.use_conv,
@@ -183,5 +190,6 @@ def msml_from_config(cfg, policy: Policy | None = None,
         decoder_loss_weight=float(cfg.get("decoder_loss_weight", 0.0)),
         external_header=external_header,
         remat=bool(cfg.get("remat", False)),
+        remat_fm=bool(cfg.get("remat_fm", False)),
         policy=policy,
     )
