@@ -101,8 +101,12 @@ def pallas_gauss_block_available() -> bool:
 
 
 def _u01(bits):
-    """uint32 random bits -> [0, 1) float32."""
-    return bits.astype(jnp.float32) * (1.0 / 4294967296.0)
+    """random bits -> [0, 1) float32.
+
+    On hardware prng_random_bits materialises as signed int32; mask to the
+    low 24 bits (always non-negative, exactly representable in f32) before
+    converting."""
+    return (bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / 16777216.0)
 
 
 def _gauss_block_kernel(seed_ref, img_ref, out_ref, *, lo, hi, fill_code,
@@ -125,8 +129,9 @@ def _gauss_block_kernel(seed_ref, img_ref, out_ref, *, lo, hi, fill_code,
     r4 = _u01(rb[0, 4])
     r5 = _u01(rb[0, 5])
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # integer iota then cast: tpu.iota only produces integer vectors
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
 
     # RandomBlock (ratio in {lo..hi-1}%)
     if hi > 1 or lo > 0:
@@ -134,13 +139,16 @@ def _gauss_block_kernel(seed_ref, img_ref, out_ref, *, lo, hi, fill_code,
         bw = jnp.floor(jnp.sqrt(ratio) * w)
         x0 = jnp.floor(r1 * (w - bw + 1.0))
         y0 = jnp.floor(r2 * (w - bw + 1.0))
-        inside = ((xs >= x0) & (xs < x0 + bw) & (ys >= y0) & (ys < y0 + bw))
+        # float mask (Mosaic only supports 32-bit minor-dim broadcasts)
+        inside = ((xs >= x0) & (xs < x0 + bw)
+                  & (ys >= y0) & (ys < y0 + bw)).astype(jnp.float32)
         if fill_code == 2:  # gauss fill from random bits (approx normal)
             nb = pltpu.prng_random_bits(img.shape)
             fill_val = (_u01(nb) - 0.5) * 3.46  # var ~ 1
         else:
             fill_val = jnp.full_like(img, float(fill_code))  # 0 black 1 white
-        img = jnp.where(inside[..., None], fill_val, img)
+        m = inside[..., None]
+        img = img * (1.0 - m) + fill_val * m
 
     # gauss light
     if relight:
