@@ -33,29 +33,41 @@ def main(args):
     from msml_tpu.train.train_step import init_train_state, make_eval_step
 
     np.random.seed(0)
-    cfg = load_yaml(os.path.join(args.weight_folder, "config.yaml"))
-    cfg.out_folder = os.path.dirname(args.weight_folder.rstrip("/")) or "out"
-    config_init(cfg, make_output_dir=False)
-
     mesh = make_mesh()
-    policy = policy_from_config(bool(cfg.get("fp16", True)))
-    # the restore template must match how training constructed the state
-    # (PFC-trained checkpoints carry the class-sharded weight)
-    use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
-        cfg.get("use_partial_fc", False))
-    model = msml_from_config(cfg, policy=policy, external_header=use_pfc)
-    rng = jax.random.PRNGKey(0)
-    state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
-    restored = ckpt.restore_checkpoint(args.weight_folder, state)
-    if restored is None:
-        raise FileNotFoundError(
-            f"no checkpoint under {args.weight_folder}/ckpt")
-    state = restored
-    eval_step = make_eval_step(model, mesh)
 
-    def extract_fn(img_np):
-        return eval_step(state.params, state.batch_stats,
-                         img_np.astype(np.float32))
+    if args.network != "msml":
+        # baseline-network evaluation (reference test.py --network
+        # {iresnet_v, cosface2018, from2021}, qeval_mxnet.py:106-171):
+        # weights come from a torch .pth transliterated on the fly
+        extract_fn, cfg = _build_baseline(args)
+        if args.vis:
+            raise SystemExit("--vis is MSML-only (FM internals)")
+    else:
+        if not args.weight_folder:
+            raise SystemExit("--weight_folder required for --network msml")
+        cfg = load_yaml(os.path.join(args.weight_folder, "config.yaml"))
+        cfg.out_folder = os.path.dirname(
+            args.weight_folder.rstrip("/")) or "out"
+        config_init(cfg, make_output_dir=False)
+
+        policy = policy_from_config(bool(cfg.get("fp16", True)))
+        # the restore template must match how training constructed the state
+        # (PFC-trained checkpoints carry the class-sharded weight)
+        use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
+            cfg.get("use_partial_fc", False))
+        model = msml_from_config(cfg, policy=policy, external_header=use_pfc)
+        rng = jax.random.PRNGKey(0)
+        state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
+        restored = ckpt.restore_checkpoint(args.weight_folder, state)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {args.weight_folder}/ckpt")
+        state = restored
+        eval_step = make_eval_step(model, mesh)
+
+        def extract_fn(img_np):
+            return eval_step(state.params, state.batch_stats,
+                             img_np.astype(np.float32))
 
     bin_path = args.bin or os.path.join(cfg.rec, args.dataset + ".bin")
 
@@ -135,12 +147,73 @@ def main(args):
     return results
 
 
+def _build_baseline(args):
+    """Vanilla-iResNet baseline evaluation path (qeval_mxnet.py:138-142):
+    a torch .pth is transliterated into PeerIResNet on the fly. Other
+    baselines (cosface2018, from2021) are checkpoint-bound torch releases;
+    their architectures live in nn/baselines.py / nn/from2021.py."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from msml_tpu.core.config import Config, config_init
+    from msml_tpu.core.precision import FULL_PRECISION
+    from msml_tpu.nn.iresnet import IRESNET_LAYERS, PeerIResNet
+    from msml_tpu.tools.import_torch import (_TreeBuilder,
+                                             import_iresnet_trunk,
+                                             merge_into)
+
+    if not args.network.startswith("iresnet"):
+        raise NotImplementedError(
+            f"--network {args.network}: only msml and iresnet*_v are wired; "
+            "cosface2018/from2021 need their fixed torch releases imported "
+            "first (see nn/baselines.py, nn/from2021.py)")
+    if not args.weight:
+        raise SystemExit("--network iresnet*_v requires --weight model.pth")
+    depth = args.network.replace("iresnet", "").replace("_v", "")
+    model = PeerIResNet(layers=IRESNET_LAYERS[f"iresnet{depth}"],
+                        policy=FULL_PRECISION)
+    sd = torch.load(args.weight, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    b = _TreeBuilder()
+    import_iresnet_trunk(b, {k: np.asarray(v) for k, v in sd.items()}, "",
+                         ("m",))
+    x = jnp.zeros((1, 112, 112, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = merge_into(jax.device_get(variables["params"]), b.params["m"])
+    stats = merge_into(jax.device_get(variables["batch_stats"]),
+                       b.batch_stats["m"])
+
+    @jax.jit
+    def fwd(img):
+        return model.apply({"params": params, "batch_stats": stats}, img)[0]
+
+    def extract_fn(img_np):
+        return fwd(jnp.asarray(img_np, jnp.float32))
+
+    cfg = Config.from_dict({
+        "dataset": "synthetic", "fp16": False, "batch_size": 1,
+        "frb_type": f"iresnet{depth}", "osb_type": "unet", "use_osb": False,
+        "fm_layers": [0, 0, 0, 0], "fm_params": [3, 2, "sigmoid", "mul"],
+        "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0, 0],
+        "exp_id": 0, "output_prefix": "baseline",
+        "out_folder": "/tmp/msml_baseline_out"})
+    config_init(cfg, make_output_dir=False)
+    return extract_fn, cfg
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="msml_tpu testing")
-    p.add_argument("--network", type=str, default="msml")
+    p.add_argument("--network", type=str, default="msml",
+                   help="msml | iresnet18_v/34_v/50_v (vanilla baseline "
+                        "from a torch .pth via --weight)")
+    p.add_argument("--weight", type=str, default="",
+                   help="torch .pth for baseline networks")
     p.add_argument("--dataset", type=str, default="lfw",
                    help="lfw, cfp_fp, agedb_30")
-    p.add_argument("--weight_folder", type=str, required=True)
+    p.add_argument("--weight_folder", type=str, default="",
+                   help="msml weight folder (required for --network msml)")
     p.add_argument("--fill_type", type=str, default="black",
                    choices=["black", "white", "gauss"])
     p.add_argument("--no-occ", action="store_true")
