@@ -163,43 +163,74 @@ def _build_baseline(args):
                                              import_iresnet_trunk,
                                              merge_into)
 
-    if not args.network.startswith("iresnet"):
-        raise NotImplementedError(
-            f"--network {args.network}: only msml and iresnet*_v are wired; "
-            "cosface2018/from2021 need their fixed torch releases imported "
-            "first (see nn/baselines.py, nn/from2021.py)")
     if not args.weight:
-        raise SystemExit("--network iresnet*_v requires --weight model.pth")
-    depth = args.network.replace("iresnet", "").replace("_v", "")
-    model = PeerIResNet(layers=IRESNET_LAYERS[f"iresnet{depth}"],
-                        policy=FULL_PRECISION)
+        raise SystemExit(f"--network {args.network} requires --weight .pth")
     sd = torch.load(args.weight, map_location="cpu")
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    b = _TreeBuilder()
-    import_iresnet_trunk(b, {k: np.asarray(v) for k, v in sd.items()}, "",
-                         ("m",))
-    x = jnp.zeros((1, 112, 112, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
-    params = merge_into(jax.device_get(variables["params"]), b.params["m"])
-    stats = merge_into(jax.device_get(variables["batch_stats"]),
-                       b.batch_stats["m"])
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    rng = jax.random.PRNGKey(0)
+    out_size = [112, 112]  # (w, h) like qeval_mxnet's cfg.out_size
+
+    if args.network.startswith("iresnet"):
+        depth = args.network.replace("iresnet", "").replace("_v", "")
+        model = PeerIResNet(layers=IRESNET_LAYERS[f"iresnet{depth}"],
+                            policy=FULL_PRECISION)
+        b = _TreeBuilder()
+        import_iresnet_trunk(b, sd, "", ("m",))
+        params_in, stats_in = b.params["m"], b.batch_stats["m"]
+        x = jnp.zeros((1, 112, 112, 3), jnp.float32)
+        variables = model.init(rng, x)
+
+        def apply_fn(v, img):
+            return model.apply(v, img)[0]
+    elif args.network == "cosface2018":
+        from msml_tpu.nn.baselines import cosface2018
+        from msml_tpu.tools.import_torch import import_sphere
+        model = cosface2018(input_size=(112, 96), policy=FULL_PRECISION)
+        params_in, stats_in = import_sphere(sd)
+        out_size = [96, 112]  # (w, h), qeval_mxnet.py:508-510
+        x = jnp.zeros((1, 112, 96, 3), jnp.float32)
+        variables = model.init(rng, x)
+
+        def apply_fn(v, img):
+            return model.apply({"params": v["params"]}, img)
+    elif args.network == "from2021":
+        from msml_tpu.nn.from2021 import From2021
+        from msml_tpu.tools.import_torch import import_from2021
+        model = From2021(policy=FULL_PRECISION)
+        params_in, stats_in = import_from2021(sd)
+        out_size = [96, 112]
+        x = jnp.zeros((1, 112, 96, 3), jnp.float32)
+        variables = model.init({"params": rng, "dropout": rng}, x,
+                               train=False)
+
+        def apply_fn(v, img):
+            return model.apply(v, img, train=False)
+    else:
+        raise SystemExit(f"unknown --network {args.network}")
+
+    params = merge_into(jax.device_get(variables["params"]), params_in)
+    stats = merge_into(jax.device_get(variables.get("batch_stats", {})),
+                       stats_in)
 
     @jax.jit
     def fwd(img):
-        return model.apply({"params": params, "batch_stats": stats}, img)[0]
+        return apply_fn({"params": params, "batch_stats": stats}, img)
 
     def extract_fn(img_np):
         return fwd(jnp.asarray(img_np, jnp.float32))
 
     cfg = Config.from_dict({
         "dataset": "synthetic", "fp16": False, "batch_size": 1,
-        "frb_type": f"iresnet{depth}", "osb_type": "unet", "use_osb": False,
+        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": False,
         "fm_layers": [0, 0, 0, 0], "fm_params": [3, 2, "sigmoid", "mul"],
         "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0, 0],
         "exp_id": 0, "output_prefix": "baseline",
         "out_folder": "/tmp/msml_baseline_out"})
     config_init(cfg, make_output_dir=False)
+    cfg.out_size = tuple(out_size)
     return extract_fn, cfg
 
 

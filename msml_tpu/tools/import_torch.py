@@ -254,6 +254,99 @@ def _import_lightcnn(b: _TreeBuilder, sd, src: str, dst: Tuple[str, ...]):
             sd[p + "fc.bias"])
 
 
+def import_sphere(state_dict, layers=(1, 2, 4, 1)):
+    """cosface2018 sphere trunk (`backbones/frb/cosface2018.py:19-73`):
+    layerN = Sequential(conv, prelu, Block(conv1, prelu1, conv2, prelu2)*k)
+    -> nn/baselines.Sphere params tree."""
+    sd = {k: np.asarray(v if not hasattr(v, "numpy") else v.detach().numpy())
+          for k, v in state_dict.items()}
+    b = _TreeBuilder()
+    for li in range(1, 5):
+        b.conv((f"layer{li}_conv",), sd[f"layer{li}.0.weight"],
+               sd.get(f"layer{li}.0.bias"))
+        b.prelu((f"layer{li}_prelu",), sd[f"layer{li}.1.weight"])
+        for bi in range(layers[li - 1]):
+            s = f"layer{li}.{2 + bi}"
+            d = (f"layer{li}_block{bi}",)
+            for ci in (1, 2):
+                b.conv(d + (f"conv{ci}",), sd[f"{s}.conv{ci}.weight"])
+                b.prelu(d + (f"prelu{ci}",), sd[f"{s}.prelu{ci}.weight"])
+    # fc over NCHW-flat (512, 7, 6) for the (112, 96) input
+    b.dense(("fc",), _fc_w(sd["fc.weight"], 7, 6, 512).T, sd["fc.bias"])
+    return b.params, b.batch_stats
+
+
+def _flat_perm(h: int, w: int, c: int) -> np.ndarray:
+    """Permutation p such that vec_hwc = vec_chw[p] (for BN1d params that act
+    on an NCHW-flattened vector in torch but an NHWC-flattened one here)."""
+    idx = np.arange(c * h * w).reshape(c, h, w)      # chw positions
+    return np.transpose(idx, (1, 2, 0)).reshape(-1)  # hwc order
+
+
+def import_from2021(state_dict, layers=(3, 4, 14, 3)):
+    """FROM (TPAMI'21) LResNet50E_IR_Occ checkpoint
+    (`backbones/third_party/from2021.py:291-373,412-428`,
+    model_p5_w1_9938_9470_6503.pth.tar) -> nn/from2021.From2021 trees
+    (everything under the 'model' submodule)."""
+    sd = {k: np.asarray(v if not hasattr(v, "numpy") else v.detach().numpy())
+          for k, v in state_dict.items()}
+    b = _TreeBuilder()
+    root = ("model",)
+
+    b.conv(root + ("conv1",), sd["conv1.weight"])
+    b.bn(root + ("bn1",), sd, "bn1")
+    b.prelu(root + ("prelu1",), sd["prelu1.weight"])
+    for li in range(1, 5):
+        for bi in range(layers[li - 1]):
+            s = f"layer{li}.{bi}"
+            d = root + (f"layer{li}_block{bi}",)
+            b.bn(d + ("bn1",), sd, f"{s}.bn1")
+            b.conv(d + ("conv1",), sd[f"{s}.conv1.weight"])
+            b.bn(d + ("bn2",), sd, f"{s}.bn2")
+            b.prelu(d + ("prelu",), sd[f"{s}.prelu1.weight"])
+            b.conv(d + ("conv2",), sd[f"{s}.conv2.weight"])
+            b.bn(d + ("bn3",), sd, f"{s}.bn3")
+            if f"{s}.downsample.0.weight" in sd:
+                b.conv(d + ("downsample_conv",),
+                       sd[f"{s}.downsample.0.weight"])
+                b.bn(d + ("downsample_bn",), sd, f"{s}.downsample.1")
+
+    for leg in ("P5_1", "P5_2", "P4_1", "P4_2", "P3_1", "P3_2", "P6", "P7_2"):
+        b.conv(root + ("fpn", leg), sd[f"fpn.{leg}.weight"],
+               sd.get(f"fpn.{leg}.bias"))
+
+    # mask head: Sequential(conv, prelu, bn, conv, sigmoid)
+    b.conv(root + ("mask_conv0",), sd["mask.0.weight"])
+    b.prelu(root + ("mask_prelu0",), sd["mask.1.weight"])
+    b.bn(root + ("mask_bn0",), sd, "mask.2")
+    b.conv(root + ("mask_conv1",), sd["mask.3.weight"])
+
+    # BN1d-over-flattened heads need the chw->hwc permutation
+    perm = _flat_perm(7, 6, 512)
+
+    def bn1d_flat(dst, prefix):
+        b.set(b.params, dst + ("scale",), sd[prefix + ".weight"][perm])
+        b.set(b.params, dst + ("bias",), sd[prefix + ".bias"][perm])
+        b.set(b.batch_stats, dst + ("mean",),
+              sd[prefix + ".running_mean"][perm])
+        b.set(b.batch_stats, dst + ("var",),
+              sd[prefix + ".running_var"][perm])
+
+    # regress: Sequential(bn1d, dropout, linear(no bias), bn1d)
+    bn1d_flat(root + ("regress_bn0",), "regress.0")
+    b.set(b.params, root + ("regress_fc", "kernel"),
+          np.asarray(sd["regress.2.weight"]).T[perm, :])
+    b.bn(root + ("regress_bn1",), sd, "regress.3")
+
+    # fc: Sequential(bn1d, dropout, linear, bn1d)
+    bn1d_flat(root + ("fc_bn0",), "fc.0")
+    b.set(b.params, root + ("fc_fc", "kernel"),
+          np.asarray(sd["fc.2.weight"]).T[perm, :])
+    b.set(b.params, root + ("fc_fc", "bias"), sd["fc.2.bias"])
+    b.bn(root + ("fc_bn1",), sd, "fc.3")
+    return b.params, b.batch_stats
+
+
 def merge_into(template: dict, imported: dict, path=()) -> dict:
     """Overlay imported leaves onto a template tree (keeps template leaves
     that the checkpoint doesn't cover), with shape checking."""
