@@ -135,7 +135,7 @@ def main(args):
         fill_type=args.fill_type, batch_size=args.batch_size,
         use_norm=bool(cfg.get("use_norm", True)),
         is_gray=bool(cfg.get("is_gray", False)), no_occ=args.no_occ,
-        dim_feature=cfg.dim_feature)
+        dim_feature=cfg.dim_feature, feature_dir=args.save_features)
 
     print("[protocol]: BB [fill_type]", args.fill_type)
     for row in results:
@@ -252,6 +252,9 @@ def parse_args(argv=None):
                    help="explicit path to the .bin pair file")
     p.add_argument("--batch-size", type=int, default=25)
     p.add_argument("--out-json", type=str, default="")
+    p.add_argument("--save-features", type=str, default="",
+                   help="save flip-summed features per ratio/repeat as .npy "
+                        "(qeval_mxnet.py:392-396 cache)")
     p.add_argument("--platform", type=str, default="")
     p.add_argument("--device-sweep", action="store_true",
                    help="run occlusion + normalize on the TPU "

@@ -78,8 +78,15 @@ def occlusion_sweep(imgs: List[Image.Image], issame: Sequence[bool],
                     batch_size: int = 25, use_norm: bool = True,
                     is_gray: bool = False, no_occ: bool = False,
                     repeats: int = 10, rng: np.random.RandomState = None,
-                    dim_feature: int = 512, verbose: bool = True):
-    """Run the full sweep; returns list of dict rows per occlusion ratio."""
+                    dim_feature: int = 512, verbose: bool = True,
+                    feature_dir: str = ""):
+    """Run the full sweep; returns list of dict rows per occlusion ratio.
+    feature_dir: if set, save the flip-summed features per (ratio, repeat)
+    as <dir>/feat_lo{lo}_rep{r}.npy (the reference's .npy feature cache,
+    qeval_mxnet.py:392-396)."""
+    import os
+    if feature_dir:
+        os.makedirs(feature_dir, exist_ok=True)
     lo_list = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
     hi_list = [1, 11, 21, 31, 41, 51, 61, 71, 81, 91]
     if no_occ:
@@ -93,10 +100,12 @@ def occlusion_sweep(imgs: List[Image.Image], issame: Sequence[bool],
         avg_acc = 0.0
         avg_roc_acc = 0.0
         fars = np.zeros(len(FAR_VALS))
-        for _ in range(repeat_time):
+        for rep in range(repeat_time):
             feats = _extract_occluded(imgs, block, extract_fn, out_size,
                                       batch_size, use_norm, is_gray, rng,
                                       dim_feature)
+            if feature_dir:
+                np.save(f"{feature_dir}/feat_lo{lo}_rep{rep}.npy", feats)
             norm_feats = l2_normalize_np(feats)
             _, _, accuracy, _, _, _ = ver.evaluate(norm_feats, issame)
             avg_acc += float(np.mean(accuracy))
