@@ -73,6 +73,9 @@ def main(args):
 
     if args.device_sweep:
         # on-device protocol: occlusion + normalize fused on the TPU
+        if args.protocol != "BB":
+            raise SystemExit("--device-sweep supports protocol BB only; "
+                             "use the host sweep for NB")
         from msml_tpu.data.bin_loader import load_bin
         from msml_tpu.eval.occ_sweep_device import occlusion_sweep_device
         data_list, issame = load_bin(bin_path, tuple(cfg.out_size))
@@ -135,9 +138,10 @@ def main(args):
         fill_type=args.fill_type, batch_size=args.batch_size,
         use_norm=bool(cfg.get("use_norm", True)),
         is_gray=bool(cfg.get("is_gray", False)), no_occ=args.no_occ,
-        dim_feature=cfg.dim_feature, feature_dir=args.save_features)
+        dim_feature=cfg.dim_feature, feature_dir=args.save_features,
+        protocol=args.protocol, repeats=args.repeats)
 
-    print("[protocol]: BB [fill_type]", args.fill_type)
+    print(f"[protocol]: {args.protocol} [fill_type]", args.fill_type)
     for row in results:
         print("[%d ~ %d] | [avg_acc]: %.4f" % (row["lo"], row["hi"],
                                                row["avg_acc"]))
@@ -248,9 +252,16 @@ def parse_args(argv=None):
     p.add_argument("--fill_type", type=str, default="black",
                    choices=["black", "white", "gauss"])
     p.add_argument("--no-occ", action="store_true")
+    p.add_argument("--protocol", type=str, default="BB",
+                   choices=["BB", "NB"],
+                   help="BB: occlude both pair images; NB: occlude only the "
+                        "first (qeval_mxnet.py:173-187)")
     p.add_argument("--bin", type=str, default="",
                    help="explicit path to the .bin pair file")
     p.add_argument("--batch-size", type=int, default=25)
+    p.add_argument("--repeats", type=int, default=10,
+                   help="repeats per nonzero occlusion ratio "
+                        "(reference: 10, qeval_mxnet.py:556)")
     p.add_argument("--out-json", type=str, default="")
     p.add_argument("--save-features", type=str, default="",
                    help="save flip-summed features per ratio/repeat as .npy "

@@ -79,12 +79,17 @@ def occlusion_sweep(imgs: List[Image.Image], issame: Sequence[bool],
                     is_gray: bool = False, no_occ: bool = False,
                     repeats: int = 10, rng: np.random.RandomState = None,
                     dim_feature: int = 512, verbose: bool = True,
-                    feature_dir: str = ""):
+                    feature_dir: str = "", protocol: str = "BB"):
     """Run the full sweep; returns list of dict rows per occlusion ratio.
     feature_dir: if set, save the flip-summed features per (ratio, repeat)
     as <dir>/feat_lo{lo}_rep{r}.npy (the reference's .npy feature cache,
-    qeval_mxnet.py:392-396)."""
+    qeval_mxnet.py:392-396).
+    protocol: 'BB' occludes both images of a pair; 'NB' occludes only the
+    even-indexed image (first of each pair), the other stays clean
+    (qeval_mxnet.py:173-187 `_load_one_input`)."""
     import os
+    if protocol not in ("BB", "NB"):
+        raise ValueError(f"unknown protocol {protocol!r} (expected BB or NB)")
     if feature_dir:
         os.makedirs(feature_dir, exist_ok=True)
     lo_list = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
@@ -103,7 +108,7 @@ def occlusion_sweep(imgs: List[Image.Image], issame: Sequence[bool],
         for rep in range(repeat_time):
             feats = _extract_occluded(imgs, block, extract_fn, out_size,
                                       batch_size, use_norm, is_gray, rng,
-                                      dim_feature)
+                                      dim_feature, protocol)
             if feature_dir:
                 np.save(f"{feature_dir}/feat_lo{lo}_rep{rep}.npy", feats)
             norm_feats = l2_normalize_np(feats)
@@ -124,9 +129,10 @@ def occlusion_sweep(imgs: List[Image.Image], issame: Sequence[bool],
 
 
 def _extract_occluded(imgs, block, extract_fn, out_size, batch_size,
-                      use_norm, is_gray, rng, dim_feature):
-    """Protocol 'BB': occlude every image, independently for orig and flip
-    (qeval_mxnet.py:186-187,295-390)."""
+                      use_norm, is_gray, rng, dim_feature, protocol="BB"):
+    """Protocol 'BB': occlude every image; 'NB': occlude even indices only.
+    Occlusions are sampled independently for the orig and flip passes
+    (qeval_mxnet.py:173-187,295-390)."""
     num = len(imgs)
     features = np.zeros((num, dim_feature))
     for flip in (False, True):
@@ -135,7 +141,8 @@ def _extract_occluded(imgs, block, extract_fn, out_size, batch_size,
         for i, img in enumerate(imgs):
             one = img.transpose(Image.FLIP_LEFT_RIGHT) if flip else img
             one = center_crop(one, out_size)
-            one = block(one, rng)
+            if protocol == "BB" or i % 2 == 0:
+                one = block(one, rng)
             a = np.asarray(one, np.float32) / 255.0
             if is_gray:
                 if a.ndim == 3:

@@ -175,6 +175,36 @@ def test_occlusion_sweep_no_occ_smoke():
     assert rows[0]["avg_acc"] >= 0.9  # identical pairs must verify
 
 
+def test_occlusion_sweep_nb_protocol_occludes_even_only():
+    """NB protocol (qeval_mxnet.py:173-187): only even-indexed images (first
+    of each pair) get the RandomBlock; odd-indexed stay clean."""
+    from msml_tpu.data.rand_occ import RandomBlock
+    from msml_tpu.eval.occ_sweep import _extract_occluded
+
+    imgs = [Image.fromarray(np.full((112, 112, 3), 200, np.uint8))
+            for _ in range(8)]
+
+    def extract(arr):
+        # mean intensity as a 1-d "feature": black occlusion lowers it
+        return arr.reshape(arr.shape[0], -1).mean(axis=1, keepdims=True)
+
+    rng = np.random.RandomState(0)
+    block = RandomBlock(60, 61, fill="black")
+    feats = _extract_occluded(imgs, block, extract, (112, 112), 4,
+                              use_norm=False, is_gray=False, rng=rng,
+                              dim_feature=1, protocol="NB")
+    even, odd = feats[0::2, 0], feats[1::2, 0]
+    clean = 2 * 200.0 / 255.0  # orig + flip passes of an untouched image
+    np.testing.assert_allclose(odd, clean, atol=1e-5)
+    assert (even < clean - 0.3).all()
+
+    # BB occludes everything
+    feats_bb = _extract_occluded(imgs, block, extract, (112, 112), 4,
+                                 use_norm=False, is_gray=False, rng=rng,
+                                 dim_feature=1, protocol="BB")
+    assert (feats_bb[:, 0] < clean - 0.3).all()
+
+
 def test_real_occ(tmp_path):
     """RealOcc paste pipeline: output contract + occlusion present."""
     from msml_tpu.tools.make_occluders import main as make_occluders
