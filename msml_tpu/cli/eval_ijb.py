@@ -106,11 +106,15 @@ def main(args):
         score = s if score is None else score + s
     score /= repeats
 
-    from msml_tpu.eval.ijb import tpr_at_fpr_table
+    from msml_tpu.eval.ijb import save_roc_artifacts, tpr_at_fpr_table
     table = tpr_at_fpr_table(label, score)
     print(f"TPR@FPR ({args.target}):")
     for fpr, tpr in table.items():
         print(f"  {fpr:g}: {tpr * 100:.2f}%")
+    # ROC pdf + csv + raw scores next to the weights (qeval_ijbc.py:544-596)
+    art_dir = args.artifact_dir or args.weight_folder
+    paths = save_roc_artifacts(art_dir, args.target, label, score)
+    print("artifacts:", ", ".join(paths.values()))
     if args.out_json:
         with open(args.out_json, "w") as f:
             json.dump({str(k): v for k, v in table.items()}, f, indent=2)
@@ -127,6 +131,9 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--no-detector-score", action="store_true")
     p.add_argument("--out-json", default="")
+    p.add_argument("--artifact-dir", default="",
+                   help="where to write the ROC pdf/csv/scores "
+                        "(default: the weight folder)")
     p.add_argument("--platform", default="")
     return p.parse_args(argv)
 

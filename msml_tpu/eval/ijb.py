@@ -156,6 +156,60 @@ def tpr_at_fpr_table(label: np.ndarray, score: np.ndarray,
     return row
 
 
+def save_roc_artifacts(out_dir: str, target: str, label: np.ndarray,
+                       score: np.ndarray, method: str = "msml_tpu",
+                       x_labels: Sequence[float] = (1e-6, 1e-5, 1e-4, 1e-3,
+                                                    1e-2, 1e-1)):
+    """Write the evaluation artifacts the reference produces
+    (qeval_ijbc.py:544-596): the raw pair scores (`<target>_scores.npy`), a
+    log-x ROC curve pdf (`<target>.pdf`, same axes: fpr 1e-6..0.1, tpr
+    0.3..1.0), and — instead of an ephemeral PrettyTable print — a persisted
+    `<target>_tpr_fpr.csv` of the TPR@FPR row. Returns the written paths."""
+    import csv
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.metrics import auc, roc_curve
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = target.lower()
+    npy_path = os.path.join(out_dir, f"{t}_scores.npy")
+    np.save(npy_path, score)
+
+    fpr, tpr, _ = roc_curve(label, score)
+    roc_auc = auc(fpr, tpr)
+    fpr_f = np.flipud(fpr)
+    tpr_f = np.flipud(tpr)  # largest tpr at equal fpr (qeval_ijbc.py:571-572)
+
+    fig = plt.figure()
+    plt.plot(fpr_f, tpr_f, lw=1,
+             label="[%s (AUC = %0.4f %%)]" % (method, roc_auc * 100))
+    plt.xlim([1e-6, 0.1])
+    plt.ylim([0.3, 1.0])
+    plt.grid(linestyle="--", linewidth=1)
+    plt.xticks(list(x_labels))
+    plt.yticks(np.linspace(0.3, 1.0, 8, endpoint=True))
+    plt.xscale("log")
+    plt.xlabel("False Positive Rate")
+    plt.ylabel("True Positive Rate")
+    plt.title("ROC on IJB")
+    plt.legend(loc="lower right")
+    pdf_path = os.path.join(out_dir, f"{t}.pdf")
+    fig.savefig(pdf_path)
+    plt.close(fig)
+
+    table = tpr_at_fpr_table(label, score, x_labels)
+    csv_path = os.path.join(out_dir, f"{t}_tpr_fpr.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["method"] + [str(x) for x in x_labels])
+        w.writerow([f"{method}-{target}"]
+                   + ["%.2f" % (table[x] * 100) for x in x_labels])
+    return {"npy": npy_path, "pdf": pdf_path, "csv": csv_path}
+
+
 def run_ijb_protocol(img_feats: np.ndarray, faceness: Optional[np.ndarray],
                      templates: np.ndarray, medias: np.ndarray,
                      p1: np.ndarray, p2: np.ndarray, label: np.ndarray,

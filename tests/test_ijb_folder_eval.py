@@ -69,6 +69,29 @@ def test_full_ijb_protocol_separable():
     assert table[1e-1] == 1.0  # fully separable at fpr 0.1
 
 
+def test_save_roc_artifacts(tmp_path):
+    """ROC pdf + TPR@FPR csv + raw scores written (qeval_ijbc.py:544-596)."""
+    from msml_tpu.eval.ijb import save_roc_artifacts, tpr_at_fpr_table
+
+    rng = np.random.RandomState(1)
+    n = 400
+    label = (rng.rand(n) > 0.5).astype(int)
+    score = label + 0.3 * rng.randn(n)
+    paths = save_roc_artifacts(str(tmp_path), "IJBC", label, score,
+                               method="test")
+    assert os.path.exists(paths["pdf"]) and os.path.getsize(paths["pdf"]) > 0
+    np.testing.assert_allclose(np.load(paths["npy"]), score)
+    with open(paths["csv"]) as f:
+        header, row = f.read().strip().split("\n")
+    assert header.split(",")[1:] == ["1e-06", "1e-05", "0.0001", "0.001",
+                                     "0.01", "0.1"]
+    cells = row.split(",")
+    assert cells[0] == "test-IJBC"
+    table = tpr_at_fpr_table(label, score)
+    for cell, x in zip(cells[1:], (1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1)):
+        assert abs(float(cell) - table[x] * 100) < 0.005
+
+
 def test_lmk68_to_5():
     lmk = np.arange(136, dtype=np.float32).reshape(68, 2)
     out = lmk68_to_5(lmk)
