@@ -222,3 +222,84 @@ def test_real_occ(tmp_path):
         assert set(np.unique(m)) <= {0, 255}
         occluded_any |= (m == 0).any()
     assert occluded_any
+
+
+def test_real_occ_occlusion_area_distribution(tmp_path):
+    """Distribution check: over many samples, the occluded-area fraction
+    must be spread (the augment_occluder rescale targets
+    sqrt(src_area/occ_area * U(0.5,1)) of the face box, then 0.75 padding),
+    not degenerate at 0 or 1."""
+    from msml_tpu.tools.make_occluders import main as make_occluders
+    from msml_tpu.data.real_occ import RealOcc
+
+    make_occluders(str(tmp_path), num=4)
+    trans = RealOcc(str(tmp_path / "object_train"))
+    rng = np.random.RandomState(1)
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(112, 112, 3) * 255).astype(np.uint8))
+    fracs = []
+    for _ in range(40):
+        _, msk = trans(img, rng)
+        fracs.append(float((np.asarray(msk) == 0).mean()))
+    fracs = np.asarray(fracs)
+    assert fracs.mean() > 0.02, fracs.mean()   # occlusion actually happens
+    assert fracs.max() < 0.95                  # face never fully erased
+    assert fracs.std() > 0.02                  # sizes vary (not one constant)
+
+
+def test_real_occ_random_shape_mode(tmp_path):
+    """'rand'/DTD mode: bezier blob cut from a texture directory."""
+    from msml_tpu.data.real_occ import RandomShapeOccluder, RealOcc
+
+    tex_dir = tmp_path / "dtd"
+    tex_dir.mkdir()
+    rng = np.random.RandomState(2)
+    for i in range(2):
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            tex_dir / f"t{i}.jpg")
+    gen = RandomShapeOccluder(str(tex_dir), mask_shape=128)
+    occ, msk = gen.get_img_mask(rng)
+    assert occ.ndim == 3 and msk.ndim == 2
+    assert (msk == 255).any()
+    trans = RealOcc(random_shape_textures=str(tex_dir))
+    out, m = trans(Image.fromarray(np.full((112, 112, 3), 128, np.uint8)),
+                   rng)
+    assert out.size == (112, 112)
+    assert set(np.unique(np.asarray(m))) <= {0, 255}
+
+
+def test_colour_transfer_sot_moves_moments():
+    """SOT colour transfer (colour_transfer.py:32-97): the transferred
+    image's colour distribution must move to the target's (matching mean
+    within a few units per channel), with regularization disabled for an
+    exact distribution-matching check."""
+    from msml_tpu.data.real_occ import color_transfer_sot
+
+    rng = np.random.RandomState(3)
+    src = rng.rand(24, 24, 3) * 0.3              # dark source
+    trg = 0.6 + rng.rand(24, 24, 3) * 0.3        # bright target
+    out = color_transfer_sot(src, trg, steps=25, batch_size=5,
+                             reg_sigmaXY=0.0, rng=rng)
+    # sliced OT converges to the target distribution: compare sorted values
+    for ch in range(3):
+        np.testing.assert_allclose(np.sort(out[..., ch], axis=None),
+                                   np.sort(trg[..., ch], axis=None),
+                                   atol=0.06)
+    assert abs(out.mean() - trg.mean()) < 0.02
+
+
+def test_colour_transfer_occluder_wrapper():
+    """main.py:124-161 wrapper: recoloured occluder matches the face crop's
+    brightness much more closely than the original occluder did."""
+    from msml_tpu.data.real_occ import colour_transfer_occluder
+
+    rng = np.random.RandomState(4)
+    face = np.clip(rng.normal(170, 15, (48, 48, 3)), 0,
+                   255).astype(np.uint8)
+    occ = np.clip(rng.normal(40, 10, (32, 32, 3)), 0, 255).astype(np.uint8)
+    out = colour_transfer_occluder(face, np.ones((48, 48), np.uint8), occ,
+                                   (0, 0, 48, 48), rng=rng,
+                                   steps=8, reg_sigmaXY=4.0, reg_sigmaV=3.0)
+    assert out.dtype == np.uint8 and out.shape == occ.shape
+    assert abs(float(out.mean()) - 170) < 40   # moved toward the face tone
+    assert float(out.mean()) > occ.mean() + 60
