@@ -35,19 +35,25 @@ from msml_tpu.train import optim
 from msml_tpu.train.train_step import init_train_state, make_train_step
 
 
-def build_dataset(cfg, args, world: int):
+def build_dataset(cfg, args, local_world: int):
+    """Per-process dataset: batch covers this host's chips; on multi-host
+    pods each process reads a disjoint shard (DistributedSampler analogue,
+    reference train.py:94-95)."""
+    shard_id, num_shards = jax.process_index(), jax.process_count()
     if cfg.dataset == "synthetic" or not cfg.rec:
         return SyntheticDataset(
-            batch_size=cfg.batch_size * world,
+            batch_size=cfg.batch_size * local_world,
             steps_per_epoch=args.steps or 100,
             size=cfg.out_size[0], channels=1 if cfg.is_gray else 3,
-            num_classes=cfg.num_classes)
+            num_classes=cfg.num_classes,
+            shard_id=shard_id, num_shards=num_shards)
     from msml_tpu.data.face_dataset import FaceByRandOccMask
     return FaceByRandOccMask(
-        root_dir=cfg.rec, batch_size=cfg.batch_size * world,
+        root_dir=cfg.rec, batch_size=cfg.batch_size * local_world,
         out_size=cfg.out_size, use_norm=cfg.use_norm, is_gray=cfg.is_gray,
         use_ori=bool(cfg.peer_params.get("use_ori")), occ=bool(args.occ),
-        num_workers=int(cfg.get("nw", 16)) or 16, seed=args.seed)
+        num_workers=int(cfg.get("nw", 16)) or 16, seed=args.seed,
+        shard_id=shard_id, num_shards=num_shards)
 
 
 def main(args):
@@ -61,8 +67,16 @@ def main(args):
     if args.multihost:
         # multi-host pods: the jax.distributed analogue of the reference's
         # torch.distributed.init_process_group (train.py:44-57); coordinator
-        # discovery comes from the TPU environment
-        jax.distributed.initialize()
+        # discovery comes from the TPU environment unless given explicitly
+        # (--coordinator host:port --num-processes N --process-id I, the
+        # TCP-rendezvous analogue of reference train.py:54)
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
     # seeds (reference train.py:31-42)
     np.random.seed(1)
     rng = jax.random.PRNGKey(args.seed)
@@ -81,11 +95,18 @@ def main(args):
         save_yaml(user_config_dict(cfg),
                   os.path.join(cfg.output, "config.yaml"))
 
+    # rank-0 file+stdout logging (utils/utils_logging.py:29-39 contract);
+    # other processes log warnings only
     logger = init_logging(cfg.output)
+    if jax.process_index() != 0:
+        import logging
+        logger.setLevel(logging.WARNING)
     mesh = make_mesh()
     world = mesh.shape["data"]
-    logger.info("mesh: %d devices (%s); config: %s"
-                % (world, jax.devices()[0].platform, dict(cfg)))
+    local_world = jax.local_device_count()
+    logger.info("mesh: %d devices / %d processes (%s); config: %s"
+                % (world, jax.process_count(), jax.devices()[0].platform,
+                   dict(cfg)))
 
     use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
         cfg.get("use_partial_fc", False))
@@ -116,7 +137,7 @@ def main(args):
         else:
             logger.info("resume fail, backbone init successfully!")
 
-    trainset = build_dataset(cfg, args, world)
+    trainset = build_dataset(cfg, args, local_world)
     steps_per_epoch = len(trainset) // (cfg.batch_size * world)
     total_step = steps_per_epoch * cfg.num_epoch
     if args.steps:
@@ -127,17 +148,33 @@ def main(args):
     tlog = ThroughputLogger(args.log_every, total_step,
                             cfg.batch_size * world, world, logger)
 
-    # in-training verification every 8000 steps (train.py:215)
+    # in-training verification every 8000 steps, rank 0 only
+    # (train.py:215, utils_callbacks.py:22-23: the .bin lives on rank 0)
     from msml_tpu.core.callbacks import CallBackVerification
     from msml_tpu.train.train_step import make_eval_step
-    eval_step = make_eval_step(model, mesh)
+    multihost = jax.process_count() > 1
+    if multihost:
+        # process-local eval on host copies of the (replicated) params so
+        # rank 0 can verify without a pod-wide collective program
+        local_eval = jax.jit(lambda p, s, img: model.apply(
+            {"params": p, "batch_stats": s}, img, train=False)[0])
 
-    def extract_fn(img_np):
-        return eval_step(state.params, state.batch_stats,
-                         img_np.astype(np.float32))
+        def extract_fn(img_np):
+            p = jax.device_get(state.params)
+            s = jax.device_get(state.batch_stats)
+            return np.asarray(local_eval(p, s,
+                                         np.asarray(img_np, np.float32)))
+    else:
+        eval_step = make_eval_step(model, mesh)
 
+        def extract_fn(img_np):
+            return eval_step(state.params, state.batch_stats,
+                             img_np.astype(np.float32))
+
+    ver_targets = cfg.get("val_targets", []) \
+        if jax.process_index() == 0 else []
     callback_verification = CallBackVerification(
-        args.ver_every, cfg.get("val_targets", []), cfg.rec, extract_fn,
+        args.ver_every, ver_targets, cfg.rec, extract_fn,
         image_size=cfg.out_size, is_gray=cfg.is_gray,
         use_norm=cfg.use_norm, logger=logger)
 
@@ -201,6 +238,11 @@ def parse_args(argv=None):
                    help="override jax platform (e.g. cpu for smoke runs)")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() for multi-host pods")
+    p.add_argument("--coordinator", type=str, default="",
+                   help="host:port rendezvous for --multihost (TPU pods "
+                        "auto-discover; set explicitly for CPU/manual runs)")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--cpu-devices", type=int, default=8,
                    help="virtual device count when --platform cpu")
     return p.parse_args(argv)

@@ -71,16 +71,20 @@ class FaceByRandOccMask:
                  use_norm: bool = False, use_ori: bool = True,
                  occluder_root: Optional[str] = None, occ: bool = True,
                  batch_size: int = 0, seed: int = 0,
-                 num_workers: int = 16):
+                 num_workers: int = 16, shard_id: int = 0,
+                 num_shards: int = 1):
         self.root_dir = root_dir
         self.out_size = tuple(out_size)
         self.is_gray = is_gray
         self.use_norm = use_norm
         self.use_ori = use_ori
         self.use_occ = occ
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # per-process batch
         self.seed = seed
         self.num_workers = num_workers
+        # multi-host: each process reads a disjoint interleaved slice of the
+        # shuffled order (the DistributedSampler analogue, train.py:94-95)
+        self.shard_id, self.num_shards = shard_id, num_shards
         self.is_ms1m = "ms1m" in root_dir
 
         self.img_rec = IndexedRecordIO(os.path.join(root_dir, "train.idx"),
@@ -282,7 +286,11 @@ class FaceByRandOccMask:
         assert self.batch_size > 0, "set batch_size for epoch iteration"
         order_rng = np.random.RandomState(self.seed + epoch)
         order = order_rng.permutation(len(self))
-        nb = len(self) // self.batch_size
+        if self.num_shards > 1:
+            # same shuffle on every process (seeded), disjoint interleaved
+            # slices per rank — torch DistributedSampler semantics
+            order = order[self.shard_id::self.num_shards]
+        nb = len(order) // self.batch_size
 
         if use_processes:
             pool = self._get_pool()

@@ -25,10 +25,23 @@ _SENTINEL = object()
 
 
 def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2):
-    """Yield batches already transferred and sharded over the data axis."""
+    """Yield batches already transferred and sharded over the data axis.
+
+    Single-host: the iterator yields global batches, device_put with the
+    sharding splits them across local chips. Multi-host (process_count > 1):
+    each process's iterator yields its PROCESS-LOCAL batch (the
+    DistributedSampler-per-rank analogue, reference train.py:94-95) and the
+    global array is assembled with jax.make_array_from_process_local_data —
+    a host can only address its own devices, so a host-built global array
+    cannot be device_put across the pod."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    multihost = jax.process_count() > 1
 
     def put(batch):
+        if multihost:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(sharding, x),
+                batch)
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     q: queue.Queue = queue.Queue(maxsize=depth)

@@ -30,18 +30,21 @@ class SyntheticDataset:
 
     def __init__(self, batch_size: int, steps_per_epoch: int = 100,
                  size: int = 112, channels: int = 3, num_classes: int = 1000,
-                 seed: int = 0):
-        self.batch_size = batch_size
+                 seed: int = 0, shard_id: int = 0, num_shards: int = 1):
+        self.batch_size = batch_size  # per-process batch
         self.steps_per_epoch = steps_per_epoch
         self.size, self.channels = size, channels
         self.num_classes = num_classes
         self.seed = seed
+        self.shard_id, self.num_shards = shard_id, num_shards
 
     def __len__(self):
-        return self.steps_per_epoch * self.batch_size
+        return self.steps_per_epoch * self.batch_size * self.num_shards
 
     def epoch(self, epoch: int):
         for i in range(self.steps_per_epoch):
-            yield synthetic_batch(self.batch_size, self.size, self.channels,
-                                  self.num_classes,
-                                  seed=self.seed + epoch * 100003 + i)
+            # distinct per-shard stream (each process draws its own slice)
+            yield synthetic_batch(
+                self.batch_size, self.size, self.channels, self.num_classes,
+                seed=(self.seed + epoch * 100003 + i) * self.num_shards
+                + self.shard_id)

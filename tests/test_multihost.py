@@ -1,0 +1,119 @@
+"""Multi-host input path: per-process shard feeding through
+jax.make_array_from_process_local_data (data/pipeline.py) + the
+DistributedSampler-analogue dataset sharding, exercised with a real
+2-process jax.distributed rendezvous on the CPU backend."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = textwrap.dedent("""
+    import sys, os
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(coordinator_address=sys.argv[2],
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from msml_tpu.core.mesh import make_mesh
+    from msml_tpu.data.pipeline import device_prefetch
+    from msml_tpu.data.synthetic import SyntheticDataset, synthetic_batch
+
+    assert jax.process_count() == 2 and jax.device_count() == 4
+    mesh = make_mesh()
+
+    BS, STEPS = 4, 2
+    ds = SyntheticDataset(batch_size=BS, steps_per_epoch=STEPS,
+                          num_classes=16, shard_id=pid, num_shards=2)
+    assert len(ds) == BS * STEPS * 2
+
+    total = jax.jit(lambda b: jnp.sum(b["img"]) + jnp.sum(b["label"]))
+    seen = 0
+    for i, batch in enumerate(device_prefetch(ds.epoch(0), mesh)):
+        assert batch["img"].shape[0] == BS * 2, batch["img"].shape  # global
+        assert batch["label"].shape[0] == BS * 2
+        got = float(total(batch))
+        # both processes can reconstruct the full global batch from the
+        # deterministic per-shard seeds -> exact expected checksum
+        want = 0.0
+        for shard in range(2):
+            local = synthetic_batch(BS, 112, 3, 16,
+                                    seed=(0 + 0 * 100003 + i) * 2 + shard)
+            want += float(np.sum(local["img"])) + float(np.sum(local["label"]))
+        assert abs(got - want) < 1e-1 * max(abs(want), 1), (got, want)
+        seen += 1
+    assert seen == STEPS, seen
+    print("child", pid, "ok", flush=True)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_input(tmp_path):
+    script = tmp_path / "child.py"
+    script.write_text(CHILD % {"repo": REPO})
+    addr = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # child sets its own device count
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), addr],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"child {i} ok" in out
+
+
+def test_dataset_shard_disjoint_union():
+    """Shards partition the shuffled order like torch DistributedSampler:
+    same seeded permutation, interleaved disjoint slices."""
+    from msml_tpu.data.face_dataset import FaceByRandOccMask
+
+    # poke only the order logic: fake a dataset with the sharding attrs
+    class Probe(FaceByRandOccMask):
+        def __init__(self, n, shard_id, num_shards, batch_size):
+            self.batch_size = batch_size
+            self.seed = 0
+            self.num_workers = 1
+            self.shard_id, self.num_shards = shard_id, num_shards
+            self._n = n
+            self.use_ori = False
+
+        def __len__(self):
+            return self._n
+
+        def __getitem__(self, index, rng=None):
+            img = np.full((4, 4, 3), index, np.float32)
+            return img, np.zeros((4, 4), np.int32), img, np.int32(index)
+
+    n = 20
+    seen = {}
+    for shard in range(2):
+        ds = Probe(n, shard, 2, batch_size=2)
+        ids = []
+        for batch in ds.epoch(0):
+            ids.extend(int(v) for v in batch["label"])
+        seen[shard] = ids
+        assert len(ids) == n // 2  # drop_last within the shard
+    assert not set(seen[0]) & set(seen[1])           # disjoint
+    assert set(seen[0]) | set(seen[1]) == set(range(n))  # full coverage
