@@ -3,6 +3,7 @@ separable synthetic task (class identity encoded in the image)."""
 
 import jax
 import numpy as np
+import pytest
 
 from msml_tpu.core.config import Config, config_init
 from msml_tpu.core.mesh import make_mesh
@@ -10,6 +11,8 @@ from msml_tpu.core.precision import FULL_PRECISION
 from msml_tpu.nn.msml import msml_from_config
 from msml_tpu.train import optim
 from msml_tpu.train.train_step import init_train_state, make_train_step
+
+pytestmark = pytest.mark.slow  # multi-step training on the 8-dev mesh
 
 N_CLASSES = 8
 

@@ -113,6 +113,7 @@ def test_gauss_map_range():
     assert 0 < g.min() and g.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_epoch_multiprocess_matches_threads(tiny_dataset):
     """Process-pool loading yields byte-identical batches to the thread
     path (deterministic per-sample RNG), exercising RecordIO fork safety."""

@@ -54,6 +54,7 @@ class TSphere(tnn.Module):
         return self.fc(torch.flatten(x, 1))
 
 
+@pytest.mark.slow
 def test_sphere_import_forward_parity():
     torch.manual_seed(0)
     tmodel = TSphere().eval()
@@ -178,6 +179,7 @@ def _rand_init(model):
             m.running_var.uniform_(0.5, 1.5)
 
 
+@pytest.mark.slow
 def test_from2021_import_forward_parity():
     from msml_tpu.nn.from2021 import From2021
     from msml_tpu.tools.import_torch import import_from2021

@@ -81,6 +81,7 @@ class TLightCNN29v2(tnn.Module):
         return self.fc(torch.flatten(x, 1))
 
 
+@pytest.mark.slow
 def test_lightcnn_import_forward_parity():
     torch.manual_seed(0)
     tmodel = TLightCNN29v2().eval()

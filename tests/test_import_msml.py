@@ -191,6 +191,7 @@ def _randomize(model):
     tnn.init.constant_(model.frb.features.weight, 1.0)
 
 
+@pytest.mark.slow
 def test_full_msml_import_parity():
     torch.manual_seed(0)
     tmodel = TMSML()

@@ -114,6 +114,7 @@ def test_iresnet_import_forward_parity():
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_iresnet_gradient_parity_vs_torch():
     """Backward parity: d(CE)/d(stem conv) matches torch on imported weights
     (eval-mode BN so batch statistics don't enter)."""

@@ -15,6 +15,7 @@ from msml_tpu.nn.unet import Unet
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.slow
 def test_unet_output_shapes_112():
     """unet.py:284-295: rgb-112 -> seg0..3 at 7/14/28/56 (18ch), seg5 at
     112 (2ch)."""
@@ -27,6 +28,7 @@ def test_unet_output_shapes_112():
         (1, 112, 112, 2)]
 
 
+@pytest.mark.slow
 def test_unet_output_shapes_128():
     """unet.py:297-305: gray-128 -> 8/16/32/64 + 128."""
     osb = Unet(input_size=128, policy=FULL_PRECISION)
@@ -56,6 +58,7 @@ def _msml(frb, header, **kw):
                 **kw)
 
 
+@pytest.mark.slow
 def test_msml_iresnet_contract():
     """msml.py:186-205: iresnet-rgb-112 eval -> (feature 512, seg 112x112x2);
     train -> (logits, seg, kd)."""
@@ -73,6 +76,7 @@ def test_msml_iresnet_contract():
     assert np.isfinite(float(kd)) and float(kd) > 0
 
 
+@pytest.mark.slow
 def test_msml_lightcnn_contract():
     """msml.py:207-223: lightcnn-gray-128 -> feature 256, seg 128x128x2."""
     model = _msml("lightcnn", "Softmax")

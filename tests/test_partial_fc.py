@@ -109,6 +109,7 @@ def test_pfc_with_margin_matches_dense():
     np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pfc_gradients_match_dense():
     feats, labels, w = _data(2)
     pfc = PartialFC(num_classes=NUM_CLASSES, embedding_size=DIM)

@@ -16,6 +16,8 @@ from msml_tpu.train import optim
 from msml_tpu.train.train_step import (init_train_state, make_eval_step,
                                        make_train_step)
 
+pytestmark = pytest.mark.slow  # full SPMD graph compiles (~8 min)
+
 
 def _cfg(**over):
     cfg = Config.from_dict({
