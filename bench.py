@@ -31,8 +31,11 @@ A100_EST_IPS = 1500.0  # estimated reference PyTorch AMP img/s on one A100
 TARGET_IPS = 2.0 * A100_EST_IPS
 
 BATCH_PER_CHIP = 128
-WARMUP_STEPS = 5   # covers initial compile + the donation-aliasing recompile
-MEASURE_STEPS = 20
+SCAN_STEPS = 8     # steps per dispatched window (lax.scan inside one jit);
+                   # amortizes the ~2 ms/step host->tunnel dispatch gap
+                   # measured between device-op time and wall time (PERF.md)
+WARMUP_WINDOWS = 3  # covers initial compile + donation-aliasing recompile
+MEASURE_WINDOWS = 4
 
 
 def main():
@@ -64,29 +67,33 @@ def main():
     rng = jax.random.PRNGKey(0)
     state = init_train_state(model, cfg, rng, mesh)
     lr_scales = optim.build_lr_scales(state.params, cfg, n)
-    step = make_train_step(model, cfg, mesh, lr_scales)
+    step = make_train_step(model, cfg, mesh, lr_scales,
+                           scan_steps=SCAN_STEPS)
 
     global_batch = BATCH_PER_CHIP * n
     batch = synthetic_batch(global_batch, size=112,
                             num_classes=cfg.num_classes)
     del batch["ori"]
+    import numpy as _np
+    batch = jax.tree.map(lambda x: _np.broadcast_to(
+        x, (SCAN_STEPS,) + x.shape).copy(), batch)
     batch = jax.device_put(batch)
 
     # NOTE: through the axon TPU relay, block_until_ready can return before
     # remote execution finishes; an explicit device_get is the only reliable
     # fence (the step chain serializes through the donated state, so fencing
     # the final metrics fences the whole chain).
-    for _ in range(WARMUP_STEPS):
+    for _ in range(WARMUP_WINDOWS):
         state, metrics = step(state, batch, 1.0, rng)
     float(metrics["total_loss"])
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
+    for _ in range(MEASURE_WINDOWS):
         state, metrics = step(state, batch, 1.0, rng)
     float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
-    ips = MEASURE_STEPS * global_batch / dt
+    ips = MEASURE_WINDOWS * SCAN_STEPS * global_batch / dt
     ips_chip = ips / n
     print(json.dumps({
         "metric": "arc18_msml_train_images_per_sec_per_chip",

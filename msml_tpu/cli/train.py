@@ -125,7 +125,9 @@ def main(args):
     from msml_tpu.tools.load_weights import load_pretrained
     state = load_pretrained(state, cfg)
     lr_scales = optim.build_lr_scales(state.params, cfg, world)
-    step_fn = make_train_step(model, cfg, mesh, lr_scales, pfc)
+    scan_steps = max(int(args.scan_steps), 1)
+    step_fn = make_train_step(model, cfg, mesh, lr_scales, pfc,
+                              scan_steps=scan_steps)
 
     start_epoch = 0
     if args.resume:
@@ -187,21 +189,28 @@ def main(args):
         lr_factor = lr_step_factor(cfg, epoch)
         epoch_iter = (trainset.epoch(epoch, use_processes=True)
                       if use_procs else trainset.epoch(epoch))
-        for batch in device_prefetch(epoch_iter, mesh):
+        def _crossed(every):
+            return every and (global_step // every
+                              > (global_step - scan_steps) // every)
+
+        for batch in device_prefetch(epoch_iter, mesh,
+                                     scan_steps=scan_steps):
             state, metrics = step_fn(state, batch, lr_factor, rng)
-            global_step += 1
+            global_step += scan_steps
             loss_meter.update(float(metrics["total_loss"]))
             tlog(global_step, loss_meter, epoch,
                  extra="lr_factor %.4f" % lr_factor)
-            if global_step % 100 == 0:
+            if _crossed(100):
                 logger.info(
                     "[exp_%s] seg_loss=%.4f, cls_loss=%.4f, kd_loss=%.4f, "
                     "grad_norm=%.3f" % (
                         cfg.exp_id, float(metrics["seg_loss"]),
                         float(metrics["cls_loss"]), float(metrics["kd"]),
                         float(metrics["grad_norm"])))
-            callback_verification(global_step)
-            if args.ckpt_every and global_step % args.ckpt_every == 0:
+            if _crossed(args.ver_every):
+                callback_verification(
+                    global_step // args.ver_every * args.ver_every)
+            if _crossed(args.ckpt_every):
                 # crash-safe mid-epoch checkpoint (the reference only saves
                 # per epoch, train.py:366 — SURVEY §5 'crash-safety: none')
                 ckpt.save_checkpoint(cfg.output, state, global_step)
@@ -234,6 +243,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="crash-safe mid-epoch checkpoint interval (steps)")
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--scan-steps", type=int, default=1,
+                   help="train steps per dispatched jit window (lax.scan); "
+                        ">1 amortizes host dispatch latency")
     p.add_argument("--platform", type=str, default="",
                    help="override jax platform (e.g. cpu for smoke runs)")
     p.add_argument("--multihost", action="store_true",

@@ -64,18 +64,26 @@ class ThroughputLogger:
         self.logger = logger
         self.time_start = time.time()
         self.tic = None
-        self.init = False
+        self.last_step = 0
 
     def __call__(self, global_step: int, loss: AverageMeter, epoch: int,
                  extra: str = ""):
-        if global_step <= 0 or global_step % self.frequency != 0:
+        # boundary-crossing check (not modulo): steps may advance in
+        # multi-step scan windows
+        if (global_step <= 0
+                or global_step // self.frequency
+                <= self.last_step // self.frequency):
             return
-        if not self.init:
-            self.init = True
+        if self.tic is None:  # first boundary: start the clock
             self.tic = time.time()
+            self.last_step = global_step
             return
-        speed = self.frequency * self.global_batch / (time.time() - self.tic)
-        time_now = (time.time() - self.time_start) / 3600
+        now = time.time()
+        speed = ((global_step - self.last_step) * self.global_batch
+                 / (now - self.tic))
+        self.tic = now
+        self.last_step = global_step
+        time_now = (now - self.time_start) / 3600
         time_total = time_now / (global_step / max(self.total_step, 1))
         eta = time_total - time_now
         self.logger.info(

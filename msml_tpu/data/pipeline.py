@@ -24,7 +24,21 @@ from msml_tpu.core.mesh import DATA_AXIS
 _SENTINEL = object()
 
 
-def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2):
+def _stack_windows(it: Iterator, n: int) -> Iterator:
+    """Group n consecutive batches into one stacked pytree (leading dim n)
+    for the scanned multi-step train update; drops a trailing partial
+    window."""
+    import numpy as np
+    buf = []
+    for b in it:
+        buf.append(b)
+        if len(buf) == n:
+            yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+            buf = []
+
+
+def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2,
+                    scan_steps: int = 1):
     """Yield batches already transferred and sharded over the data axis.
 
     Single-host: the iterator yields global batches, device_put with the
@@ -33,8 +47,15 @@ def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2):
     DistributedSampler-per-rank analogue, reference train.py:94-95) and the
     global array is assembled with jax.make_array_from_process_local_data —
     a host can only address its own devices, so a host-built global array
-    cannot be device_put across the pod."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    cannot be device_put across the pod.
+
+    scan_steps > 1 stacks that many batches per yield (leading dim =
+    scan_steps, batch dim second) for make_train_step(scan_steps=n)."""
+    if scan_steps > 1:
+        it = _stack_windows(it, scan_steps)
+        sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    else:
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
     multihost = jax.process_count() > 1
 
     def put(batch):

@@ -38,6 +38,25 @@ def load_landmark_file(path: str) -> Dict[str, np.ndarray]:
     return lmk
 
 
+class MTCNNDetector:
+    """Bundled MTCNN cascade (detect/mtcnn.py) -> best-face 5-pt landmarks.
+    Takes the public pnet/rnet/onet .npy weight directory (the reference
+    vendors it at eval/preprocess/mtcnn_pytorch/src/weights)."""
+
+    def __init__(self, weights_dir: str, min_face_size: float = 20.0,
+                 thresholds=(0.6, 0.7, 0.8)):
+        from msml_tpu.detect.mtcnn import MTCNN
+        self.det = MTCNN(weights_dir)
+        self.min_face_size = min_face_size
+        self.thresholds = tuple(thresholds)
+
+    def __call__(self, img_bgr: np.ndarray) -> Optional[np.ndarray]:
+        from PIL import Image
+        pil = Image.fromarray(img_bgr[:, :, ::-1])  # detector wants RGB
+        return self.det.landmarks5(pil, min_face_size=self.min_face_size,
+                                   thresholds=self.thresholds)
+
+
 class YuNetDetector:
     """cv2.FaceDetectorYN wrapper -> best-face 5-pt landmarks."""
 
@@ -98,9 +117,27 @@ if __name__ == "__main__":
     p.add_argument("--landmarks", type=str, default="")
     p.add_argument("--yunet", type=str, default="",
                    help="path to a YuNet face detection onnx model")
+    p.add_argument("--mtcnn-weights", type=str, default="",
+                   help="directory with the public MTCNN pnet/rnet/onet "
+                        ".npy weights (bundled JAX cascade)")
+    p.add_argument("--min-face-size", type=float, default=20.0)
+    p.add_argument("--thresholds", type=float, nargs=3,
+                   default=[0.6, 0.7, 0.8],
+                   help="MTCNN stage thresholds (mtcnn.py:161)")
+    p.add_argument("--platform", type=str, default="cpu",
+                   help="jax platform for the detector nets (tiny; cpu "
+                        "default keeps the TPU free for training)")
     a = p.parse_args()
+    if a.platform:
+        import jax
+        jax.config.update("jax_platforms", a.platform)
     lmk = load_landmark_file(a.landmarks) if a.landmarks else None
-    det = YuNetDetector(a.yunet) if a.yunet else None
+    det = None
+    if a.mtcnn_weights:
+        det = MTCNNDetector(a.mtcnn_weights, a.min_face_size,
+                            tuple(a.thresholds))
+    elif a.yunet:
+        det = YuNetDetector(a.yunet)
     if lmk is None and det is None:
-        raise SystemExit("provide --landmarks or --yunet")
+        raise SystemExit("provide --landmarks, --mtcnn-weights, or --yunet")
     align_folder(a.src, a.out, a.size, lmk, det)

@@ -86,7 +86,7 @@ def init_train_state(model, cfg, rng, mesh: Mesh,
 
 
 def make_train_step(model, cfg, mesh: Mesh, lr_scales,
-                    pfc: Optional[PartialFC] = None):
+                    pfc: Optional[PartialFC] = None, scan_steps: int = 1):
     """Build the jitted SPMD train step.
 
     step(state, batch, lr_factor, rng) -> (state, metrics)
@@ -221,7 +221,29 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     def bound_step(state, batch, lr_factor, rng):
         return step(state, batch, jnp.asarray(lr_factor, jnp.float32), rng)
 
-    return bound_step
+    if scan_steps <= 1:
+        return bound_step
+
+    # Multi-step window: lax.scan over `scan_steps` stacked batches inside
+    # one jit. Numerically identical to that many sequential calls (the
+    # per-step RNG folds in state.step, which advances inside the scan);
+    # amortizes per-dispatch host/tunnel latency (~2 ms/step measured
+    # through the axon relay — PERF.md).
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, batches, lr_factor, rng):
+        def one(carry, batch):
+            new_c, metrics = step(carry, batch, lr_factor, rng)
+            return new_c, metrics
+
+        state, ms = lax.scan(one, state, batches)
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
+
+    def bound_multi(state, batches, lr_factor, rng):
+        """batches: pytree with leading dim scan_steps over global batches."""
+        return multi(state, batches, jnp.asarray(lr_factor, jnp.float32),
+                     rng)
+
+    return bound_multi
 
 
 def make_eval_step(model, mesh: Mesh):

@@ -71,6 +71,40 @@ def _run_steps(cfg, use_pfc, n=2):
     return state, metrics_hist, model, mesh
 
 
+def test_multi_step_scan_matches_sequential():
+    """make_train_step(scan_steps=n) must produce the same final state as n
+    sequential single steps (the scan is pure dispatch amortization)."""
+    cfg = _cfg(use_osb=False, fm_layers=[0, 0, 0, 0])
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    lr = lr_step_factor(cfg, 0)
+    batches = [_batch(cfg, mesh, seed=i) for i in range(2)]
+
+    state = init_train_state(model, cfg, rng, mesh)
+    lr_scales = optim.build_lr_scales(state.params, cfg, mesh.shape["data"])
+    step1 = make_train_step(model, cfg, mesh, lr_scales)
+    s_seq = state
+    seq_metrics = []
+    for b in batches:
+        s_seq, m = step1(s_seq, b, lr, rng)
+        seq_metrics.append(m)
+
+    state2 = init_train_state(model, cfg, rng, mesh)
+    stepn = make_train_step(model, cfg, mesh, lr_scales, scan_steps=2)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    s_scan, m_scan = stepn(state2, stacked, lr, rng)
+
+    assert int(s_scan.step) == int(s_seq.step) == 2
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    want_mean = np.mean([float(m["total_loss"]) for m in seq_metrics])
+    np.testing.assert_allclose(float(m_scan["total_loss"]), want_mean,
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_train_step_fullclass_runs_and_updates():
     cfg = _cfg(use_osb=False, fm_layers=[0, 0, 0, 0])
     state, hist, model, mesh = _run_steps(cfg, use_pfc=False, n=2)
