@@ -35,10 +35,25 @@ SCAN_STEPS = 8     # steps per dispatched window (lax.scan inside one jit);
                    # amortizes the ~2 ms/step host->tunnel dispatch gap
                    # measured between device-op time and wall time (PERF.md)
 WARMUP_WINDOWS = 3  # covers initial compile + donation-aliasing recompile
-MEASURE_WINDOWS = 4
+MEASURE_WINDOWS = 8  # 64 steps per fence: the final device-read costs one
+                     # ~35 ms tunnel RTT; spreading it over more steps keeps
+                     # the measurement close to the true device rate
 
 
-def main():
+VARIANTS = {
+    # flagship: README recipe (peer-less), the headline metric
+    "flagship": {"peer_params": {"use_ori": False, "use_conv": False,
+                                 "mask_trans": "conv", "use_decoder": False},
+                 "num_classes": 10572},
+    # the reference's shipped config.yaml:22-27 (peer teacher + conv towers
+    # + decoder, ms1m classes) — configs/arc18_msml_peer_dec.yaml
+    "peer_dec": {"peer_params": {"use_ori": True, "use_conv": True,
+                                 "mask_trans": "conv", "use_decoder": True},
+                 "num_classes": 93431},
+}
+
+
+def main(variant: str = "flagship"):
     from jax.sharding import Mesh
     from msml_tpu.core.config import Config, config_init
     from msml_tpu.core.precision import DEFAULT_POLICY
@@ -51,14 +66,15 @@ def main():
     n = len(devices)
     mesh = Mesh(np.array(devices), ("data",))
 
+    v = VARIANTS[variant]
     cfg = Config.from_dict({
         "dataset": "synthetic", "fp16": True, "batch_size": BATCH_PER_CHIP,
         "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
         "fm_layers": [1, 1, 1, 1], "fm_params": [3, 2, "sigmoid", "mul"],
-        "peer_params": {"use_ori": False, "use_conv": False,
-                        "mask_trans": "conv", "use_decoder": False},
+        "peer_params": v["peer_params"],
         "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0.0, 0.0],
-        "exp_id": 0, "output_prefix": "bench", "num_classes": 10572,
+        "exp_id": 0, "output_prefix": "bench",
+        "num_classes": v["num_classes"],
         "out_folder": "/tmp/msml_bench_out",
     })
     config_init(cfg)
@@ -73,7 +89,8 @@ def main():
     global_batch = BATCH_PER_CHIP * n
     batch = synthetic_batch(global_batch, size=112,
                             num_classes=cfg.num_classes)
-    del batch["ori"]
+    if not cfg.peer_params.get("use_ori"):
+        del batch["ori"]
     import numpy as _np
     batch = jax.tree.map(lambda x: _np.broadcast_to(
         x, (SCAN_STEPS,) + x.shape).copy(), batch)
@@ -95,8 +112,11 @@ def main():
 
     ips = MEASURE_WINDOWS * SCAN_STEPS * global_batch / dt
     ips_chip = ips / n
+    name = ("arc18_msml_train_images_per_sec_per_chip" if variant ==
+            "flagship" else
+            f"arc18_msml_{variant}_train_images_per_sec_per_chip")
     print(json.dumps({
-        "metric": "arc18_msml_train_images_per_sec_per_chip",
+        "metric": name,
         "value": round(ips_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(ips_chip / TARGET_IPS, 4),
@@ -104,4 +124,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(sys.argv[sys.argv.index("--variant") + 1]
+         if "--variant" in sys.argv else "flagship")
