@@ -50,6 +50,12 @@ VARIANTS = {
     "peer_dec": {"peer_params": {"use_ori": True, "use_conv": True,
                                  "mask_trans": "conv", "use_decoder": True},
                  "num_classes": 93431},
+    # peer_dec with the KD-metric-only conv2 towers skipped (legal at the
+    # reference-default kd_loss_weight == 0; see nn/fm.py kd_metric)
+    "peer_dec_nokd": {"peer_params": {"use_ori": True, "use_conv": True,
+                                      "mask_trans": "conv",
+                                      "use_decoder": True},
+                      "num_classes": 93431, "extra": {"kd_metric": False}},
 }
 
 
@@ -76,6 +82,7 @@ def main(variant: str = "flagship"):
         "exp_id": 0, "output_prefix": "bench",
         "num_classes": v["num_classes"],
         "out_folder": "/tmp/msml_bench_out",
+        **v.get("extra", {}),
     })
     config_init(cfg)
 

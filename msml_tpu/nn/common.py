@@ -126,6 +126,14 @@ def max_avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     return mx + av
 
 
+def remat_stage_set(remat) -> frozenset:
+    """Normalise a remat config value: True -> all 4 backbone stages,
+    False/None -> none, sequence of stage numbers -> those stages."""
+    if isinstance(remat, bool) or remat is None:
+        return frozenset((1, 2, 3, 4)) if remat else frozenset()
+    return frozenset(int(s) for s in remat)
+
+
 def flatten_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     """Flatten (N, H, W, C) -> (N, H*W*C).
 

@@ -76,6 +76,12 @@ class FMCnn(nn.Module):
     use_ori: bool = False          # peer_params['use_ori']
     use_conv: bool = False         # peer_params['use_conv']
     mask_trans: str = "conv"       # 'conv' | 'invert'
+    # kd_metric=False skips the f_occ/conv2 tower + KD MSE entirely. Only
+    # legal when kd_loss_weight == 0 (the reference default, where the KD
+    # term is a constant logit shift with zero gradient —
+    # fmoperator.py:293-308 / msml.py:171): it then only feeds the logged
+    # kd metric, at the cost of a full conv tower per stage.
+    kd_metric: bool = True
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
@@ -121,7 +127,8 @@ class FMCnn(nn.Module):
             f_out = m_bar * identity
             if self.use_conv:
                 f_out = _ConvTower(self.channel_f, cdt, name="conv1")(f_out, train)
-            if yt is not None or self.is_initializing():
+            if (yt is not None and self.kd_metric) \
+                    or self.is_initializing():
                 yt_ = identity if yt is None else yt.astype(cdt)
                 f_occ = m_bar * yt_
                 if self.use_conv:

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from msml_tpu.core.precision import Policy, DEFAULT_POLICY
-from msml_tpu.nn.common import PReLU, batch_norm, conv1x1, conv3x3, flatten_nhwc
+from msml_tpu.nn.common import (PReLU, batch_norm, conv1x1, conv3x3,
+                                flatten_nhwc, remat_stage_set)
 from msml_tpu.nn.decoder import DeepMindDecoder
 
 IRESNET_LAYERS = {
@@ -98,9 +99,13 @@ class IResNet(nn.Module):
     fm_ops: Sequence[nn.Module] = ()
     use_decoder: bool = False
     decoder_loss_weight: float = 0.0
-    remat: bool = False  # rematerialize stages: trade recompute FLOPs for
-    #                      activation HBM traffic (we are bandwidth-bound on
-    #                      v5e at these channel widths)
+    remat: object = False  # rematerialize stages: trade recompute FLOPs for
+    #                        activation HBM traffic. True = all 4 stages;
+    #                        a sequence of stage numbers (e.g. (3, 4)) remats
+    #                        only those — for deep configs (iresnet100's
+    #                        30-block stage 3) most activation memory sits in
+    #                        the block-heavy low-res stages, where recompute
+    #                        is also cheapest (PERF.md)
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
@@ -114,11 +119,12 @@ class IResNet(nn.Module):
         x = batch_norm(train, cdt, name="bn1")(x)
         x = PReLU(cdt, name="prelu")(x)
 
-        stage_cls = nn.remat(ResStage, static_argnums=(2,)) if self.remat \
-            else ResStage
+        remat_stages = remat_stage_set(self.remat)
         planes = (64, 128, 256, 512)
         kd_losses = []
         for i in range(4):
+            stage_cls = (nn.remat(ResStage, static_argnums=(2,))
+                         if (i + 1) in remat_stages else ResStage)
             x = stage_cls(planes[i], self.layers[i], 2, cdt,
                           name=f"layer{i + 1}")(x, train)
             x, kd = self.fm_ops[i](x, segs[i], peer_feats[i], train)

@@ -62,8 +62,12 @@ class MSML(nn.Module):
     # when True the classification head lives outside (PartialFC in the
     # train step); training forward then returns (feature, final_seg, kd).
     external_header: bool = False
-    remat: bool = False
+    # True = remat everything; a sequence of FRB stage numbers (e.g. (3, 4))
+    # remats only those FRB stages (OSB stays un-rematted then)
+    remat: object = False
     remat_fm: bool = False
+    kd_metric: bool = True  # False: skip the KD-metric-only conv2 tower
+    #                         (legal when kd_loss_weight == 0; see nn/fm.py)
     policy: Policy = DEFAULT_POLICY
 
     def setup(self):
@@ -94,8 +98,8 @@ class MSML(nn.Module):
                     channel_f=f_channels[i], kernel_size=kernel_size,
                     resblocks=num_res, activation=act, arith_strategy=arith,
                     use_ori=self.use_ori, use_conv=self.use_conv,
-                    mask_trans=self.mask_trans, policy=self.policy,
-                    name=f"fm_op{i}"))
+                    mask_trans=self.mask_trans, kd_metric=self.kd_metric,
+                    policy=self.policy, name=f"fm_op{i}"))
             else:
                 raise ValueError("FM Operators type error")
         self.fm_ops = fm_ops
@@ -122,7 +126,8 @@ class MSML(nn.Module):
         if self.use_osb:
             if "unet" not in self.osb_type:
                 raise ValueError("OSB type error")
-            self.osb = Unet(input_size=input_size, remat=self.remat,
+            self.osb = Unet(input_size=input_size,
+                            remat=self.remat is True,
                             policy=self.policy, name="osb")
 
         if not self.external_header:
@@ -166,6 +171,14 @@ class MSML(nn.Module):
         return final_cls, final_seg, kd
 
 
+def _check_kd_metric(cfg) -> bool:
+    kd_metric = bool(cfg.get("kd_metric", True))
+    if not kd_metric and float(cfg.get("kd_loss_weight", 0.0)) > 0:
+        raise ValueError("kd_metric: false skips the KD computation and is "
+                         "only legal with kd_loss_weight == 0")
+    return kd_metric
+
+
 def msml_from_config(cfg, policy: Policy | None = None,
                      external_header: bool = False) -> MSML:
     """Build an MSML from a derived Config (see core/config.py)."""
@@ -189,7 +202,8 @@ def msml_from_config(cfg, policy: Policy | None = None,
         use_decoder=bool(pp.get("use_decoder", False)),
         decoder_loss_weight=float(cfg.get("decoder_loss_weight", 0.0)),
         external_header=external_header,
-        remat=bool(cfg.get("remat", False)),
+        remat=cfg.get("remat", False),
         remat_fm=bool(cfg.get("remat_fm", False)),
+        kd_metric=_check_kd_metric(cfg),
         policy=policy,
     )

@@ -132,3 +132,48 @@ def test_conv_transpose_matches_torch():
             xt, wt, stride=s, padding=p).numpy().transpose(0, 2, 3, 1)
         assert got.shape == want.shape, (k, s, p, hin)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_selective_remat_preserves_semantics():
+    """remat=[3, 4] (stage-selective) must match remat=False as closely as
+    the established remat=True does — remat only changes scheduling, but
+    f32 BN grads carry reduction-order noise on near-cancelling leaves, so
+    the bound is comparative rather than absolute."""
+    import jax
+    import jax.numpy as jnp
+    from msml_tpu.core.precision import FULL_PRECISION
+    from msml_tpu.nn.fm import FMNone
+    from msml_tpu.nn.iresnet import IResNet
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 112, 112, 3),
+                    jnp.float32)
+    segs = peers = (None, None, None, None)
+
+    outs = {}
+    for key, remat in (("plain", False), ("full", True), ("sel", [3, 4])):
+        model = IResNet(layers=(2, 2, 2, 2),
+                        fm_ops=[FMNone() for _ in range(4)],
+                        remat=remat, policy=FULL_PRECISION)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(0)},
+                               x, segs, peers, True)
+
+        def loss(params):
+            (feat, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, segs, peers, True, mutable=["batch_stats"])
+            return jnp.sum(feat ** 2)
+
+        outs[key] = (float(loss(variables["params"])),
+                     jax.grad(loss)(variables["params"]))
+
+    np.testing.assert_allclose(outs["plain"][0], outs["sel"][0], rtol=1e-4)
+    np.testing.assert_allclose(outs["plain"][0], outs["full"][0], rtol=1e-4)
+    for pl, fu, se in zip(jax.tree.leaves(outs["plain"][1]),
+                          jax.tree.leaves(outs["full"][1]),
+                          jax.tree.leaves(outs["sel"][1])):
+        scale = float(jnp.max(jnp.abs(pl))) + 1e-9
+        d_full = float(jnp.max(jnp.abs(fu - pl))) / scale
+        d_sel = float(jnp.max(jnp.abs(se - pl))) / scale
+        assert d_sel <= 2.0 * d_full + 1e-4, (d_sel, d_full)
