@@ -53,6 +53,12 @@ CHILD = textwrap.dedent("""
         assert abs(got - want) < 1e-1 * max(abs(want), 1), (got, want)
         seen += 1
     assert seen == STEPS, seen
+
+    # scan-window stacking composes with multi-host assembly:
+    # (scan_steps, global_batch, ...) with the batch dim sharded
+    for batch in device_prefetch(ds.epoch(1), mesh, scan_steps=2):
+        assert batch["img"].shape[:2] == (2, BS * 2), batch["img"].shape
+        assert np.isfinite(float(total(batch)))
     print("child", pid, "ok", flush=True)
 """)
 
