@@ -272,8 +272,7 @@ class MTCNN:
         sw, sh = math.ceil(width * scale), math.ceil(height * scale)
         img = image.resize((sw, sh), Image.BILINEAR)
         x = (np.asarray(img, np.float32) - 127.5) * 0.0078125
-        offsets, probs = self._rnet_safe(self._pnet, self.pnet_p,
-                                         x[None])
+        offsets, probs = self._pnet(self.pnet_p, jnp.asarray(x[None]))
         probs = np.asarray(probs)[0, :, :, 1]
         offsets = np.asarray(offsets)[0]  # (h, w, 4)
         iy, ix = np.where(probs > threshold)
@@ -290,10 +289,6 @@ class MTCNN:
             off[:, 0], off[:, 1], off[:, 2], off[:, 3]], axis=1)
         keep = nms(boxes[:, 0:5], 0.5)
         return boxes[keep]
-
-    @staticmethod
-    def _rnet_safe(fn, params, x):
-        return fn(params, jnp.asarray(x))
 
     def detect_faces(self, image: Image.Image, min_face_size: float = 64.0,
                      thresholds=(0.6, 0.7, 0.8),
