@@ -185,15 +185,53 @@ def _export_unet(e: _Emitter, dst: str, path: Tuple[str, ...]):
         e.deconv(f"{dst}.deconv{di}", path + (f"deconv{di}",))
 
 
+def _export_lightcnn(e: _Emitter, dst: str, path: Tuple[str, ...]):
+    """Inverse of import_torch._import_lightcnn (lightcnn.py:145-237)."""
+
+    def mfm(d, p):
+        e.conv(d + ".filter", p + ("filter",), bias=True)
+
+    mfm(dst + ".conv1", path + ("conv1",))
+    for si, (blk, grp) in enumerate((("block1", "group1"),
+                                     ("block2", "group2")), start=1):
+        i = 0
+        while e.has(*path, f"stage{si}", f"block{i}"):
+            for ci in (1, 2):
+                mfm(f"{dst}.{blk}.{i}.conv{ci}",
+                    path + (f"stage{si}", f"block{i}", f"conv{ci}"))
+            i += 1
+        mfm(f"{dst}.{grp}.conv_a", path + (f"stage{si}", "group", "conv_a"))
+        mfm(f"{dst}.{grp}.conv", path + (f"stage{si}", "group", "conv"))
+    i = 0
+    while e.has(*path, f"stage3_block{i}"):
+        for ci in (1, 2):
+            mfm(f"{dst}.block3.{i}.conv{ci}",
+                path + (f"stage3_block{i}", f"conv{ci}"))
+        i += 1
+    mfm(dst + ".group3.conv_a", path + ("group3", "conv_a"))
+    mfm(dst + ".group3.conv", path + ("group3", "conv"))
+    i = 0
+    while e.has(*path, f"stage4_block{i}"):
+        for ci in (1, 2):
+            mfm(f"{dst}.block4.{i}.conv{ci}",
+                path + (f"stage4_block{i}", f"conv{ci}"))
+        i += 1
+    mfm(dst + ".group4.conv_a", path + ("group4", "conv_a"))
+    mfm(dst + ".group4.conv", path + ("group4", "conv"))
+    fc = e._get(e.p, path + ("fc", "kernel"))
+    e.out[dst + ".fc.weight"] = _fc_w_inv(fc, 8, 8, 128)
+    e.out[dst + ".fc.bias"] = e._get(e.p, path + ("fc", "bias"))
+
+
 def export_msml_state_dict(params: Dict, batch_stats: Dict) -> Dict:
     """(params, batch_stats) trees -> reference-named numpy state dict."""
     e = _Emitter(params, batch_stats)
-    if e.has("frb", "conv1"):
+    if e.has("frb", "conv1", "kernel"):
         _export_iresnet_trunk(e, "frb", ("frb",))
+    elif e.has("frb", "conv1", "filter"):
+        _export_lightcnn(e, "frb", ("frb",))
     else:
-        raise NotImplementedError(
-            "export_torch currently covers the iresnet FRB (the released "
-            "checkpoint format); lightcnn export is not implemented")
+        raise NotImplementedError("unrecognised FRB parameter layout")
     if e.has("frb", "decoder"):
         raise NotImplementedError(
             "decoder export not implemented (the recover decoder is "
@@ -201,7 +239,10 @@ def export_msml_state_dict(params: Dict, batch_stats: Dict) -> Dict:
     for i in range(4):
         _export_fm(e, f"frb.fm_ops.{i}", (f"fm_op{i}",))
     if e.has("peer"):
-        _export_iresnet_trunk(e, "frb.peer", ("peer",))
+        if e.has("peer", "conv1", "kernel"):
+            _export_iresnet_trunk(e, "frb.peer", ("peer",))
+        else:
+            _export_lightcnn(e, "frb.peer", ("peer",))
     if e.has("osb"):
         _export_unet(e, "osb", ("osb",))
     if e.has("classification"):

@@ -89,3 +89,25 @@ def test_export_loads_strict_into_torch_oracle():
     cos = (got * want).sum(1) / (np.linalg.norm(got, axis=1)
                                  * np.linalg.norm(want, axis=1))
     assert cos.min() > 0.999, cos
+
+
+def test_export_import_roundtrip_lightcnn():
+    """LightCNN flavor: export -> import identity on the full tree."""
+    model = MSML(frb_type="lightcnn", num_classes=16, use_osb=True,
+                 header_type="Softmax", header_params=(64.0, 0.5, 0, 0),
+                 fm_params=(3, 2, "tanh", "add"), policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(5)
+    x = jnp.zeros((1, 128, 128, 1), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x,
+                           jnp.zeros((1,), jnp.int32), train=True)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    sd = export_msml_state_dict(params, stats)
+    assert "frb.conv1.filter.weight" in sd and "frb.group4.conv.filter.bias" in sd
+    params_in, stats_in = import_msml_checkpoint(sd)
+    got_p = merge_into(params, params_in)
+    _tree_equal(got_p, params)
+    # fc row-permutation must round-trip exactly (8x8x128 flatten)
+    np.testing.assert_allclose(
+        np.asarray(got_p["frb"]["fc"]["kernel"]),
+        np.asarray(params["frb"]["fc"]["kernel"]), atol=1e-6)
