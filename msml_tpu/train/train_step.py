@@ -248,7 +248,14 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
 
 def make_eval_step(model, mesh: Mesh):
     """Jitted feature extraction: (params, batch_stats, img) -> embeddings
-    (the eval contract of `msml.py:173-174`)."""
+    (the eval contract of `msml.py:173-174`).
+
+    The batch is sharded over the mesh's data axis (the reference's
+    nn.DataParallel eval analogue, qeval_mxnet.py:162) — callers may pass
+    any host batch size; it is zero-padded up to a multiple of the mesh and
+    the padding rows are dropped from the returned features."""
+    n = mesh.shape[DATA_AXIS]
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     @jax.jit
     def eval_step(params, batch_stats, img):
@@ -257,4 +264,14 @@ def make_eval_step(model, mesh: Mesh):
                                  img, train=False)
         return feature
 
-    return eval_step
+    def bound(params, batch_stats, img):
+        b = img.shape[0]
+        pad = (-b) % n
+        if pad:
+            img = jnp.concatenate(
+                [jnp.asarray(img),
+                 jnp.zeros((pad,) + tuple(img.shape[1:]), img.dtype)])
+        img = jax.device_put(jnp.asarray(img), sharding)
+        return eval_step(params, batch_stats, img)[:b]
+
+    return bound

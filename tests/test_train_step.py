@@ -218,3 +218,23 @@ def test_decoder_loss_weight_live():
     moved = max(float(np.abs(a - b).max()) for a, b in zip(
         jax.tree.leaves(dec_before), jax.tree.leaves(dec_after)))
     assert moved > 0, "decoder got no gradient"
+
+
+def test_eval_step_sharded_with_padding():
+    """Eval batches shard over the mesh and odd sizes are pad-and-dropped
+    (DataParallel-eval analogue)."""
+    cfg = _cfg(use_osb=False, fm_layers=[0, 0, 0, 0])
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh)
+    ev = make_eval_step(model, mesh)
+    img = jnp.asarray(np.random.RandomState(0).randn(11, 112, 112, 3),
+                      jnp.float32)  # 11 % 8 != 0
+    feats = ev(state.params, state.batch_stats, img)
+    assert feats.shape == (11, 512)
+    # padding must not leak into real rows: same values as a full batch
+    feats25 = ev(state.params, state.batch_stats,
+                 jnp.concatenate([img, img[:5]]))
+    np.testing.assert_allclose(np.asarray(feats25[:11]), np.asarray(feats),
+                               atol=2e-4, rtol=2e-4)
