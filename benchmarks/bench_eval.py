@@ -1,0 +1,57 @@
+"""Inference (eval forward) throughput of the flagship model on the chip."""
+import json
+import sys
+import os
+import time
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/msml_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+from msml_tpu.core.config import Config, config_init
+from msml_tpu.core.precision import DEFAULT_POLICY
+from msml_tpu.nn.msml import msml_from_config
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+cfg = Config.from_dict({
+    "dataset": "synthetic", "fp16": True, "batch_size": B,
+    "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
+    "fm_layers": [1, 1, 1, 1], "fm_params": [3, 2, "sigmoid", "mul"],
+    "peer_params": {"use_ori": False, "use_conv": False,
+                    "mask_trans": "conv", "use_decoder": False},
+    "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0.0, 0.0],
+    "exp_id": 0, "output_prefix": "bench", "num_classes": 10572,
+    "out_folder": "/tmp/msml_bench_out"})
+config_init(cfg)
+model = msml_from_config(cfg, policy=DEFAULT_POLICY)
+rng = jax.random.PRNGKey(0)
+x = jnp.zeros((B, 112, 112, 3), jnp.float32)
+v = model.init({"params": rng, "dropout": rng}, x,
+               jnp.zeros((B,), jnp.int32), train=True)
+v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+
+
+@jax.jit
+def fwd(img):
+    feature, _ = model.apply(v, img, train=False)
+    return feature
+
+
+imgs = jnp.asarray(np.random.RandomState(0).randn(B, 112, 112, 3),
+                   jnp.float32)
+out = None
+for _ in range(3):
+    out = fwd(imgs)
+float(out[0, 0])
+N = 40
+t0 = time.perf_counter()
+for _ in range(N):
+    out = fwd(imgs)
+float(out[0, 0])
+dt = time.perf_counter() - t0
+print(json.dumps({"metric": f"arc18_msml_eval_images_per_sec_b{B}",
+                  "value": round(N * B / dt, 2), "unit": "img/s"}))
