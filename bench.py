@@ -35,9 +35,9 @@ SCAN_STEPS = 8     # steps per dispatched window (lax.scan inside one jit);
                    # amortizes the ~2 ms/step host->tunnel dispatch gap
                    # measured between device-op time and wall time (PERF.md)
 WARMUP_WINDOWS = 3  # covers initial compile + donation-aliasing recompile
-MEASURE_WINDOWS = 8  # 64 steps per fence: the final device-read costs one
-                     # ~35 ms tunnel RTT; spreading it over more steps keeps
-                     # the measurement close to the true device rate
+MEASURE_WINDOWS = 16  # 128 steps per fence: the final device-read costs one
+                      # ~35 ms tunnel RTT; spreading it over more steps keeps
+                      # the measurement close to the true device rate
 
 
 VARIANTS = {

@@ -286,7 +286,7 @@ def main(args):
     stats = jax.device_get(restored.batch_stats)
     sd = export_msml_state_dict(params, stats)
     torch.save({k: torch.from_numpy(np.ascontiguousarray(
-        np.asarray(v, np.float32) if v.dtype != np.int64 else v))
+        np.asarray(v, np.float32) if v.dtype != np.int64 else v).copy())
         for k, v in sd.items()}, args.out)
     print(f"wrote {len(sd)} tensors -> {args.out}")
 
