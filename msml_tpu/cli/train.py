@@ -52,6 +52,7 @@ def build_dataset(cfg, args, local_world: int):
         root_dir=cfg.rec, batch_size=cfg.batch_size * local_world,
         out_size=cfg.out_size, use_norm=cfg.use_norm, is_gray=cfg.is_gray,
         use_ori=bool(cfg.peer_params.get("use_ori")), occ=bool(args.occ),
+        occluder_root=cfg.get("occluder_root") or None,
         num_workers=int(cfg.get("nw", 32)) or 32, seed=args.seed,
         shard_id=shard_id, num_shards=num_shards)
 

@@ -115,6 +115,19 @@ def _config_dataset(cfg: Config) -> None:
             cfg.num_epoch = 34
             cfg.decay_epochs = [20, 28, 32]
             cfg.decay_scale = 0.1
+    elif cfg.dataset == "custom":
+        # user-provided RecordIO dataset: the yaml is authoritative
+        # (the reference's config.py only knows its named datasets;
+        # this branch makes arbitrary recs first-class)
+        if "num_classes" not in cfg:
+            raise ValueError("dataset: custom requires num_classes")
+        cfg.setdefault("rec", "")
+        cfg.setdefault("nw", 32)
+        cfg.setdefault("num_epoch", 25)
+        cfg.setdefault("warmup_epoch", -1)
+        cfg.setdefault("val_targets", [])
+        cfg.setdefault("decay_epochs", [10, 18, 22])
+        cfg.setdefault("decay_scale", 0.1)
     elif cfg.dataset == "synthetic":
         # TPU-build-only smoke dataset: random images + labels.
         cfg.setdefault("rec", "")

@@ -195,3 +195,35 @@ def test_load_pretrained_roundtrip(tmp_path):
     np.testing.assert_allclose(
         jax.device_get(loaded.params["fm_op0"]["same_conv"]["kernel"]),
         jax.device_get(fresh.params["fm_op0"]["same_conv"]["kernel"]))
+
+
+def test_custom_dataset_config():
+    """dataset: custom honors yaml values (no per-dataset hardcoding)."""
+    from msml_tpu.core.config import Config, config_init
+
+    cfg = Config.from_dict({
+        "dataset": "custom", "fp16": False, "batch_size": 4,
+        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
+        "fm_layers": [1, 1, 1, 1], "fm_params": [3, 2, "sigmoid", "mul"],
+        "peer_params": {"use_ori": False, "use_conv": False,
+                        "mask_trans": "conv", "use_decoder": False},
+        "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0, 0],
+        "exp_id": 0, "output_prefix": "t", "num_classes": 64,
+        "rec": "/data/myrec", "val_targets": ["lfw"], "nw": 8,
+        "num_epoch": 3, "out_folder": "/tmp/msml_test_out"})
+    config_init(cfg, make_output_dir=False)
+    assert cfg.num_classes == 64          # NOT overridden
+    assert cfg.val_targets == ["lfw"]
+    assert cfg.nw == 8 and cfg.num_epoch == 3
+    assert cfg.rec == "/data/myrec"
+
+    import pytest
+    bad = Config.from_dict({
+        "dataset": "custom", "fp16": False, "batch_size": 4,
+        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
+        "fm_layers": [1, 1, 1, 1], "fm_params": [3, 2, "sigmoid", "mul"],
+        "peer_params": {}, "header_type": "AMArcFace",
+        "header_params": [64.0, 0.48, 0, 0], "exp_id": 0,
+        "output_prefix": "t", "out_folder": "/tmp/msml_test_out"})
+    with pytest.raises(ValueError, match="num_classes"):
+        config_init(bad, make_output_dir=False)
