@@ -54,3 +54,36 @@ def test_verification_callback(tmp_path, caplog):
     # highest-acc tracking across calls
     cb(200)
     assert cb.highest_acc_list[0] >= results[0]
+
+
+def test_throughput_logger_windowed_steps_and_tic_reset(caplog):
+    """Boundary-crossing trigger (multi-step scan windows skip exact
+    multiples) and per-interval speed (regression: tic was never reset, so
+    logged speed decayed over time)."""
+    import re
+    import time as _time
+
+    from msml_tpu.core.logging import AverageMeter, ThroughputLogger
+
+    logger = logging.getLogger("msml_tpu.test_tp")
+    tl = ThroughputLogger(frequency=10, total_step=1000, global_batch=100,
+                          num_chips=2, logger=logger)
+    loss = AverageMeter()
+    loss.update(1.0)
+
+    speeds = []
+    with caplog.at_level(logging.INFO, logger="msml_tpu.test_tp"):
+        # steps advance by 8: 8, 16, 24, ... never hitting % 10 == 0
+        for step in range(8, 130, 8):
+            tl(step, loss, epoch=0)
+            _time.sleep(0.01)
+    for rec in caplog.records:
+        m = re.match(r"Speed ([\d.]+) samples/sec", rec.message)
+        if m:
+            speeds.append(float(m.group(1)))
+    # first boundary only starts the clock; crossings at 16,24,..,128 log
+    assert len(speeds) >= 10
+    # tic resets each log: speeds reflect the constant interval, so the
+    # last is within ~3x of the first (the old bug decayed monotonically
+    # toward zero)
+    assert speeds[-1] > speeds[0] / 3
