@@ -111,3 +111,25 @@ def test_export_import_roundtrip_lightcnn():
     np.testing.assert_allclose(
         np.asarray(got_p["frb"]["fc"]["kernel"]),
         np.asarray(params["frb"]["fc"]["kernel"]), atol=1e-6)
+
+
+def test_export_import_roundtrip_peer():
+    """Peer-teacher branch of the exporter (frb.peer.*) round-trips."""
+    model = MSML(frb_type="iresnet18", num_classes=16, use_osb=True,
+                 header_type="AMArcFace", header_params=(64.0, 0.48, 0, 0),
+                 fm_params=(3, 2, "sigmoid", "mul"),
+                 use_ori=True, use_conv=True, mask_trans="conv",
+                 policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(9)
+    x = jnp.zeros((1, 112, 112, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x,
+                           jnp.zeros((1,), jnp.int32), x, train=True)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    sd = export_msml_state_dict(params, stats)
+    assert "frb.peer.conv1.weight" in sd
+    assert "frb.fm_ops.0.conv_m.0.weight" in sd      # peer towers exported
+    assert "frb.fm_ops.0.conv2.3.weight" in sd
+    params_in, _ = import_msml_checkpoint(sd)
+    got_p = merge_into(params, params_in)
+    _tree_equal(got_p, params)
