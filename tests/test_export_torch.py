@@ -70,7 +70,7 @@ def test_export_loads_strict_into_torch_oracle():
     tmodel = TMSML()
     # the oracle has no classification head (the real reference MSML does;
     # qeval loads backbone.pth into the full model)
-    tsd = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)).copy())
            for k, v in sd.items() if not k.startswith("classification.")}
     missing, unexpected = [], []
     try:
