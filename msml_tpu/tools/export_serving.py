@@ -1,0 +1,97 @@
+"""Export the eval forward as a portable serialized StableHLO artifact.
+
+Serving-deployment counterpart to the torch interop exporters: `jax.export`
+serializes the jitted eval function (params baked in as constants) with a
+symbolic batch dimension, producing a self-contained artifact that any
+JAX-compatible runtime (same or newer jaxlib, CPU/TPU) can deserialize and
+call without the msml_tpu package — the reference has no serving story at
+all (its eval loads the full torch training stack, qeval_mxnet.py:106-171).
+
+Usage:
+  python -m msml_tpu.tools.export_serving --weight_folder out/arc18_1 \
+      --out model.stablehlo [--batch b]   # b symbolic by default
+
+Load side (no msml_tpu needed):
+  from jax import export
+  fn = export.deserialize(open("model.stablehlo", "rb").read())
+  feats = fn.call(images_nhwc_f32)       # (B, 112, 112, 3) -> (B, 512)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def export_eval_fn(model, params, batch_stats, input_shape, batch=None):
+    """Serialize the eval forward. batch=None -> symbolic batch dim."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def fwd(img):
+        feature, _ = model.apply(variables, img, train=False)
+        return feature
+
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b,) + tuple(input_shape), jnp.float32)
+    else:
+        spec = jax.ShapeDtypeStruct((int(batch),) + tuple(input_shape),
+                                    jnp.float32)
+    exported = jexport.export(jax.jit(fwd))(spec)
+    return exported.serialize()
+
+
+def main(args):
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from msml_tpu.core import checkpoint as ckpt
+    from msml_tpu.core.config import config_init, load_yaml
+    from msml_tpu.core.mesh import make_mesh
+    from msml_tpu.core.precision import policy_from_config
+    from msml_tpu.nn.msml import msml_from_config
+    from msml_tpu.train.train_step import init_train_state
+
+    cfg = load_yaml(os.path.join(args.weight_folder, "config.yaml"))
+    cfg.out_folder = os.path.dirname(args.weight_folder.rstrip("/")) or "out"
+    config_init(cfg, make_output_dir=False)
+    mesh = make_mesh()
+    use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
+        cfg.get("use_partial_fc", False))
+    model = msml_from_config(cfg, policy=policy_from_config(
+        bool(cfg.get("fp16", True))), external_header=use_pfc)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh,
+                             use_pfc=use_pfc)
+    restored = ckpt.restore_checkpoint(args.weight_folder, state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {args.weight_folder}")
+    h, w = cfg.out_size[1], cfg.out_size[0]
+    c = 1 if cfg.get("is_gray") else 3
+    blob = export_eval_fn(model, jax.device_get(restored.params),
+                          jax.device_get(restored.batch_stats),
+                          (h, w, c),
+                          batch=args.batch if args.batch > 0 else None)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {len(blob)} bytes -> {args.out} "
+          f"(input ({'b' if args.batch <= 0 else args.batch}, {h}, {w}, {c}))")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="export the eval forward as serialized StableHLO")
+    p.add_argument("--weight_folder", required=True)
+    p.add_argument("--out", default="model.stablehlo")
+    p.add_argument("--batch", type=int, default=0,
+                   help="fixed batch size; <=0 exports a symbolic batch dim")
+    p.add_argument("--platform", default="cpu")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())
