@@ -1,0 +1,96 @@
+"""Orbax checkpoint save/restore: exact-state roundtrip on the 8-device
+mesh, including the class-sharded PartialFC weight and the retention
+policy (core/checkpoint.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from msml_tpu.core import checkpoint as ckpt
+from msml_tpu.core.config import Config, config_init
+from msml_tpu.core.mesh import make_mesh
+from msml_tpu.core.precision import FULL_PRECISION
+from msml_tpu.nn.msml import msml_from_config
+from msml_tpu.train.train_step import TrainState, init_train_state
+
+
+def _cfg():
+    cfg = Config.from_dict({
+        "dataset": "synthetic", "fp16": False, "batch_size": 2,
+        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": False,
+        "fm_layers": [0, 0, 0, 0], "fm_params": [3, 2, "sigmoid", "mul"],
+        "peer_params": {"use_ori": False, "use_conv": False,
+                        "mask_trans": "conv", "use_decoder": False},
+        "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0.0, 0.0],
+        "exp_id": 0, "output_prefix": "ckpt_test", "num_classes": 64,
+        "sample_rate": 0.5, "out_folder": "/tmp/msml_test_out"})
+    config_init(cfg)
+    return cfg
+
+
+def _tree_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_roundtrip_with_pfc_shard(tmp_path):
+    cfg = _cfg()
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION,
+                             external_header=True)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, mesh, use_pfc=True)
+    # make the state distinguishable from a fresh init
+    state = state.replace(
+        step=state.step + 7,
+        momentum=jax.tree.map(lambda m: m + 0.5, state.momentum),
+        pfc_momentum=state.pfc_momentum + 1.25)
+
+    out = str(tmp_path / "wf")
+    ckpt.save_checkpoint(out, state, step=7)
+
+    template = init_train_state(model, cfg, jax.random.PRNGKey(1), mesh,
+                                use_pfc=True)
+    restored = ckpt.restore_checkpoint(out, template)
+    assert restored is not None
+    assert int(restored.step) == 7
+    _tree_equal(restored.params, state.params)
+    _tree_equal(restored.momentum, state.momentum)
+    np.testing.assert_array_equal(np.asarray(restored.pfc_weight),
+                                  np.asarray(state.pfc_weight))
+    np.testing.assert_array_equal(np.asarray(restored.pfc_momentum),
+                                  np.asarray(state.pfc_momentum))
+    # shardings follow the template: pfc weight stays class-sharded
+    assert restored.pfc_weight.sharding.spec == \
+        jax.sharding.PartitionSpec("data")
+    assert ckpt.latest_step(out) == 7
+
+
+def test_checkpoint_retention_keeps_three(tmp_path):
+    cfg = _cfg()
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION,
+                             external_header=True)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh,
+                             use_pfc=True)
+    out = str(tmp_path / "wf")
+    for s in (1, 2, 3, 4, 5):
+        ckpt.save_checkpoint(out, state.replace(step=state.step * 0 + s), s)
+    assert ckpt.latest_step(out) == 5
+    # max_to_keep=3: step 1 and 2 gone
+    assert ckpt.restore_checkpoint(
+        out, state, step=5) is not None
+    import os
+    kept = sorted(int(d) for d in os.listdir(os.path.join(out, "ckpt"))
+                  if d.isdigit())
+    assert kept == [3, 4, 5], kept
+
+
+def test_restore_missing_returns_none(tmp_path):
+    cfg = _cfg()
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION,
+                             external_header=True)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh,
+                             use_pfc=True)
+    assert ckpt.restore_checkpoint(str(tmp_path / "nope"), state) is None
