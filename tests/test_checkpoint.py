@@ -6,6 +6,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # model init + orbax IO per test
+
 from msml_tpu.core import checkpoint as ckpt
 from msml_tpu.core.config import Config, config_init
 from msml_tpu.core.mesh import make_mesh
