@@ -26,8 +26,11 @@ _SENTINEL = object()
 
 def _stack_windows(it: Iterator, n: int) -> Iterator:
     """Group n consecutive batches into one stacked pytree (leading dim n)
-    for the scanned multi-step train update; drops a trailing partial
-    window."""
+    for the scanned multi-step train update; a trailing partial window is
+    dropped (same drop_last semantics as the epoch batching) with a log
+    line so the loss of those steps is visible."""
+    import logging
+
     import numpy as np
     buf = []
     for b in it:
@@ -35,6 +38,10 @@ def _stack_windows(it: Iterator, n: int) -> Iterator:
         if len(buf) == n:
             yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
             buf = []
+    if buf:
+        logging.getLogger("msml_tpu").info(
+            "dropping trailing partial scan window (%d of %d batches)",
+            len(buf), n)
 
 
 def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2,
