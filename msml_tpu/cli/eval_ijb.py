@@ -111,13 +111,18 @@ def main(args):
     print(f"TPR@FPR ({args.target}):")
     for fpr, tpr in table.items():
         print(f"  {fpr:g}: {tpr * 100:.2f}%")
-    # ROC pdf + csv + raw scores next to the weights (qeval_ijbc.py:544-596)
-    art_dir = args.artifact_dir or args.weight_folder
-    paths = save_roc_artifacts(art_dir, args.target, label, score)
-    print("artifacts:", ", ".join(paths.values()))
+    # write the requested JSON before the plotting artifacts so a missing
+    # matplotlib/sklearn degrades gracefully instead of eating the output
     if args.out_json:
         with open(args.out_json, "w") as f:
             json.dump({str(k): v for k, v in table.items()}, f, indent=2)
+    # ROC pdf + csv + raw scores next to the weights (qeval_ijbc.py:544-596)
+    art_dir = args.artifact_dir or args.weight_folder
+    try:
+        paths = save_roc_artifacts(art_dir, args.target, label, score)
+        print("artifacts:", ", ".join(paths.values()))
+    except Exception as e:  # matplotlib/sklearn optional at runtime
+        print(f"warning: ROC artifacts skipped ({e})")
     return table
 
 

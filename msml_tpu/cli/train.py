@@ -156,16 +156,22 @@ def main(args):
     from msml_tpu.core.callbacks import CallBackVerification
     from msml_tpu.train.train_step import make_eval_step
     multihost = jax.process_count() > 1
+    ver_prepare_fn = None
     if multihost:
         # process-local eval on host copies of the (replicated) params so
-        # rank 0 can verify without a pod-wide collective program
+        # rank 0 can verify without a pod-wide collective program; the
+        # params are snapshotted to host ONCE per verification round (via
+        # prepare_fn) rather than re-fetched on every eval batch
         local_eval = jax.jit(lambda p, s, img: model.apply(
             {"params": p, "batch_stats": s}, img, train=False)[0])
+        _ver_snap = {}
+
+        def ver_prepare_fn():
+            _ver_snap["p"] = jax.device_get(state.params)
+            _ver_snap["s"] = jax.device_get(state.batch_stats)
 
         def extract_fn(img_np):
-            p = jax.device_get(state.params)
-            s = jax.device_get(state.batch_stats)
-            return np.asarray(local_eval(p, s,
+            return np.asarray(local_eval(_ver_snap["p"], _ver_snap["s"],
                                          np.asarray(img_np, np.float32)))
     else:
         eval_step = make_eval_step(model, mesh)
@@ -179,7 +185,8 @@ def main(args):
     callback_verification = CallBackVerification(
         args.ver_every, ver_targets, cfg.rec, extract_fn,
         image_size=cfg.out_size, is_gray=cfg.is_gray,
-        use_norm=cfg.use_norm, logger=logger)
+        use_norm=cfg.use_norm, logger=logger,
+        prepare_fn=ver_prepare_fn)
 
     global_step = int(state.step)
     start_epoch = global_step // max(steps_per_epoch, 1)

@@ -25,9 +25,14 @@ class CallBackVerification:
                  rec_prefix: str, extract_fn: Callable,
                  image_size=(112, 112), is_gray: bool = False,
                  use_norm: bool = True, batch_size: int = 40,
-                 logger: Optional[logging.Logger] = None):
+                 logger: Optional[logging.Logger] = None,
+                 prepare_fn: Optional[Callable[[], None]] = None):
         self.frequency = frequency
         self.extract_fn = extract_fn
+        # called once per verification round, before any extract_fn batch —
+        # lets callers snapshot device params to host once instead of
+        # re-fetching the unchanged tree on every eval batch
+        self.prepare_fn = prepare_fn
         self.is_gray = is_gray
         self.use_norm = use_norm
         self.batch_size = batch_size
@@ -51,6 +56,8 @@ class CallBackVerification:
     def ver_test(self, global_step: int):
         """utils/utils_callbacks.py:26-38."""
         from msml_tpu.eval.verification import test
+        if self.prepare_fn is not None and self.ver_list:
+            self.prepare_fn()
         results = []
         for i, (data_list, issame) in enumerate(self.ver_list):
             acc2, std2, xnorm, _ = test(data_list, issame, self.extract_fn,

@@ -288,7 +288,13 @@ class FaceByRandOccMask:
         order = order_rng.permutation(len(self))
         if self.num_shards > 1:
             # same shuffle on every process (seeded), disjoint interleaved
-            # slices per rank — torch DistributedSampler semantics
+            # slices per rank — torch DistributedSampler semantics, incl.
+            # its wrap-around padding to a multiple of num_shards: without
+            # it, ranks can disagree on batches-per-epoch and hang the pod
+            # at the epoch boundary waiting for each other's SPMD launches
+            pad = (-len(order)) % self.num_shards
+            if pad:
+                order = np.concatenate([order, order[:pad]])
             order = order[self.shard_id::self.num_shards]
         nb = len(order) // self.batch_size
 

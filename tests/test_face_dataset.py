@@ -150,3 +150,26 @@ def test_recordio_thread_hammer(tiny_dataset):
 
     with ThreadPoolExecutor(max_workers=8) as ex:
         assert all(ex.map(read_many, range(8)))
+
+
+def test_shard_padding_equal_batches(tiny_dataset):
+    """DistributedSampler-style wrap-around padding: when len(dataset) is
+    not a multiple of num_shards, every rank must still see the same
+    number of samples (and therefore launch the same number of pod-wide
+    SPMD programs per epoch — a mismatch hangs a real pod at the epoch
+    boundary)."""
+    root, occl = tiny_dataset
+    num_shards = 5  # 12 % 5 == 2 -> unpadded shards would be 3,3,2,2,2
+    counts, seen = [], []
+    for sid in range(num_shards):
+        ds = FaceByRandOccMask(root, out_size=(112, 112), use_norm=True,
+                               occluder_root=occl, batch_size=3, seed=0,
+                               num_workers=1, shard_id=sid,
+                               num_shards=num_shards)
+        batches = list(ds.epoch(0))
+        counts.append(len(batches))
+        seen.append(np.concatenate([b["label"] for b in batches]))
+    # equal batch count on every rank (the actual pod-hang regression)
+    assert counts == [1] * num_shards
+    # total samples across ranks = padded length (ceil(12/5)*5)
+    assert sum(s.size for s in seen) == 15
