@@ -5,6 +5,10 @@ U-Net + 4 FM ops + AMArcFace head + consensus seg loss, bf16 compute) on the
 available TPU chip(s) with synthetic data (isolates device throughput; the
 host pipeline is benchmarked separately).
 
+Variants are read from the SHIPPED `configs/*.yaml` files (one source of
+truth, including batch size) — `--variant peer_dec` benches exactly what
+`cli.train --config configs/arc18_msml_peer_dec.yaml` would train.
+
 Baseline: the reference publishes no numbers (BASELINE.md). The north star is
 >2x an A100 running the PyTorch reference. A100_EST_IPS below is an estimate
 of the reference's A100 AMP throughput for this config (~13.5 GFLOPs/img
@@ -17,6 +21,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -30,7 +35,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 A100_EST_IPS = 1500.0  # estimated reference PyTorch AMP img/s on one A100
 TARGET_IPS = 2.0 * A100_EST_IPS
 
-BATCH_PER_CHIP = 128
 SCAN_STEPS = 8     # steps per dispatched window (lax.scan inside one jit);
                    # amortizes the ~2 ms/step host->tunnel dispatch gap
                    # measured between device-op time and wall time (PERF.md)
@@ -39,29 +43,40 @@ MEASURE_WINDOWS = 16  # 128 steps per fence: the final device-read costs one
                       # ~35 ms tunnel RTT; spreading it over more steps keeps
                       # the measurement close to the true device rate
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
+# variant -> (shipped yaml, bench-only single-field overrides)
 VARIANTS = {
     # flagship: README recipe (peer-less), the headline metric
-    "flagship": {"peer_params": {"use_ori": False, "use_conv": False,
-                                 "mask_trans": "conv", "use_decoder": False},
-                 "num_classes": 10572},
+    "flagship": ("configs/arc18_msml.yaml", {}),
     # the reference's shipped config.yaml:22-27 (peer teacher + conv towers
-    # + decoder, ms1m classes) — configs/arc18_msml_peer_dec.yaml
-    "peer_dec": {"peer_params": {"use_ori": True, "use_conv": True,
-                                 "mask_trans": "conv", "use_decoder": True},
-                 "num_classes": 93431},
+    # + decoder, ms1m classes)
+    "peer_dec": ("configs/arc18_msml_peer_dec.yaml", {}),
     # peer_dec with the KD-metric-only conv2 towers skipped (legal at the
     # reference-default kd_loss_weight == 0; see nn/fm.py kd_metric)
-    "peer_dec_nokd": {"peer_params": {"use_ori": True, "use_conv": True,
-                                      "mask_trans": "conv",
-                                      "use_decoder": True},
-                      "num_classes": 93431, "extra": {"kd_metric": False}},
+    "peer_dec_nokd": ("configs/arc18_msml_peer_dec.yaml",
+                      {"kd_metric": False}),
+    # scale config (BASELINE.json config 4): ir100 + sampled PartialFC
+    "ir100_pfc": ("configs/ir100_pfc.yaml", {}),
 }
+
+
+def load_variant_config(variant: str):
+    """Load the shipped yaml for a variant and derive fields, exactly as
+    cli.train does (minus the output-folder side effects)."""
+    from msml_tpu.core.config import config_init, load_yaml
+
+    yaml_rel, overrides = VARIANTS[variant]
+    cfg = load_yaml(os.path.join(_HERE, yaml_rel))
+    for k, v in overrides.items():
+        cfg[k] = v
+    cfg.out_folder = "/tmp/msml_bench_out"
+    config_init(cfg)
+    return cfg
 
 
 def main(variant: str = "flagship"):
     from jax.sharding import Mesh
-    from msml_tpu.core.config import Config, config_init
     from msml_tpu.core.precision import DEFAULT_POLICY
     from msml_tpu.data.synthetic import synthetic_batch
     from msml_tpu.nn.msml import msml_from_config
@@ -72,34 +87,33 @@ def main(variant: str = "flagship"):
     n = len(devices)
     mesh = Mesh(np.array(devices), ("data",))
 
-    v = VARIANTS[variant]
-    cfg = Config.from_dict({
-        "dataset": "synthetic", "fp16": True, "batch_size": BATCH_PER_CHIP,
-        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
-        "fm_layers": [1, 1, 1, 1], "fm_params": [3, 2, "sigmoid", "mul"],
-        "peer_params": v["peer_params"],
-        "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0.0, 0.0],
-        "exp_id": 0, "output_prefix": "bench",
-        "num_classes": v["num_classes"],
-        "out_folder": "/tmp/msml_bench_out",
-        **v.get("extra", {}),
-    })
-    config_init(cfg)
+    cfg = load_variant_config(variant)
+    use_pfc = bool(cfg.get("use_partial_fc"))
+    pfc = None
+    if use_pfc:
+        from msml_tpu.heads.margin import get_margin_fn
+        from msml_tpu.heads.partial_fc import PartialFC
+        pfc = PartialFC(num_classes=cfg.num_classes,
+                        embedding_size=cfg.dim_feature,
+                        sample_rate=float(cfg.sample_rate),
+                        margin_fn=get_margin_fn(cfg.header_type,
+                                                cfg.header_params))
 
-    model = msml_from_config(cfg, policy=DEFAULT_POLICY)
+    model = msml_from_config(cfg, policy=DEFAULT_POLICY,
+                             external_header=use_pfc)
     rng = jax.random.PRNGKey(0)
-    state = init_train_state(model, cfg, rng, mesh)
+    state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
     lr_scales = optim.build_lr_scales(state.params, cfg, n)
-    step = make_train_step(model, cfg, mesh, lr_scales,
+    step = make_train_step(model, cfg, mesh, lr_scales, pfc,
                            scan_steps=SCAN_STEPS)
 
-    global_batch = BATCH_PER_CHIP * n
-    batch = synthetic_batch(global_batch, size=112,
+    batch_per_chip = int(cfg.batch_size)
+    global_batch = batch_per_chip * n
+    batch = synthetic_batch(global_batch, size=cfg.out_size[0],
                             num_classes=cfg.num_classes)
     if not cfg.peer_params.get("use_ori"):
         del batch["ori"]
-    import numpy as _np
-    batch = jax.tree.map(lambda x: _np.broadcast_to(
+    batch = jax.tree.map(lambda x: np.broadcast_to(
         x, (SCAN_STEPS,) + x.shape).copy(), batch)
     batch = jax.device_put(batch)
 
@@ -119,9 +133,12 @@ def main(variant: str = "flagship"):
 
     ips = MEASURE_WINDOWS * SCAN_STEPS * global_batch / dt
     ips_chip = ips / n
-    name = ("arc18_msml_train_images_per_sec_per_chip" if variant ==
-            "flagship" else
-            f"arc18_msml_{variant}_train_images_per_sec_per_chip")
+    # metric names follow the yaml's output_prefix (round-2 continuity:
+    # flagship -> arc18_msml_..., peer_dec -> arc18_msml_peer_dec_...)
+    prefix = str(cfg.output_prefix)
+    if variant == "peer_dec_nokd":
+        prefix += "_nokd"
+    name = f"{prefix}_train_images_per_sec_per_chip"
     print(json.dumps({
         "metric": name,
         "value": round(ips_chip, 2),

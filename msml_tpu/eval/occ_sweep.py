@@ -141,16 +141,24 @@ def _extract_occluded(imgs, block, extract_fn, out_size, batch_size,
         for i, img in enumerate(imgs):
             one = img.transpose(Image.FLIP_LEFT_RIGHT) if flip else img
             one = center_crop(one, out_size)
+            if is_gray and one.mode != "L":
+                # torchvision Grayscale() = PIL integer ITU-R 601-2,
+                # applied BEFORE the occlusion block (qeval_mxnet.py:97-101:
+                # Grayscale is prepended to the transform, so RandomBlock
+                # sees the 'L' image and gauss fill draws one channel).
+                # NOTE deliberately different from verification.test's
+                # callback-path luminance/3 quirk (verification.py:250-254),
+                # which lives in eval/verification.py::extract_embeddings.
+                one = one.convert("L")
             if protocol == "BB" or i % 2 == 0:
                 one = block(one, rng)
             a = np.asarray(one, np.float32) / 255.0
             if is_gray:
-                if a.ndim == 3:
-                    a = (0.2989 * a[..., 0] + 0.5870 * a[..., 1]
-                         + 0.1140 * a[..., 2]) / 3.0
                 a = a[..., None]
             arr[i] = a
-        if use_norm and not is_gray:
+        if use_norm:
+            # start_extract normalizes whenever cfg.use_norm, gray included
+            # (qeval_mxnet.py:318-325); lightcnn ships use_norm=False
             arr = (arr - 0.5) / 0.5
         for s in range(0, num, batch_size):
             e = min(s + batch_size, num)

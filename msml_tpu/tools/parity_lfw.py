@@ -93,7 +93,8 @@ def _randomize_torch(model, seed: int = 0):
     tnn.init.constant_(model.frb.features.weight, 1.0)
 
 
-def make_synthetic_bin(path: str, n_pairs: int, seed: int = 0):
+def make_synthetic_bin(path: str, n_pairs: int, seed: int = 0,
+                       size: int = 112):
     """LFW-like .bin: identity prototypes + noise, alternating same/diff."""
     import pickle
 
@@ -111,7 +112,7 @@ def make_synthetic_bin(path: str, n_pairs: int, seed: int = 0):
         base = protos[pid % len(protos)]
         img = np.clip(base + rng.randn(16, 16, 3) * 0.45, 0, 1)
         big = np.asarray(Image.fromarray(
-            (img * 255).astype(np.uint8)).resize((112, 112)))
+            (img * 255).astype(np.uint8)).resize((size, size)))
         return big
 
     bins, issame = [], []
