@@ -104,8 +104,10 @@ def main(variant: str = "flagship"):
     rng = jax.random.PRNGKey(0)
     state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
     lr_scales = optim.build_lr_scales(state.params, cfg, n)
+    scan_unroll = int(os.environ.get("MSML_SCAN_UNROLL",
+                                     cfg.get("scan_unroll", 1)))
     step = make_train_step(model, cfg, mesh, lr_scales, pfc,
-                           scan_steps=SCAN_STEPS)
+                           scan_steps=SCAN_STEPS, scan_unroll=scan_unroll)
 
     batch_per_chip = int(cfg.batch_size)
     global_batch = batch_per_chip * n

@@ -58,11 +58,39 @@ def main(args):
         model = msml_from_config(cfg, policy=policy, external_header=use_pfc)
         rng = jax.random.PRNGKey(0)
         state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
-        restored = ckpt.restore_checkpoint(args.weight_folder, state)
-        if restored is None:
-            raise FileNotFoundError(
-                f"no checkpoint under {args.weight_folder}/ckpt")
-        state = restored
+        if args.weight:
+            # evaluate a reference torch checkpoint directly (the released
+            # backbone.pth next to its config.yaml — runbook path,
+            # BASELINE.md): transliterate on the fly, no orbax ckpt needed
+            import torch as _torch
+            from msml_tpu.tools.import_torch import (import_msml_checkpoint,
+                                                     merge_into)
+            sd = _torch.load(args.weight, map_location="cpu")
+            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+            p_in, s_in = import_msml_checkpoint(sd)
+            # eval never touches the classification head; drop it when the
+            # checkpoint's class count differs from the config-derived one
+            host_p = jax.device_get(state.params)
+            cls_in = p_in.get("classification", {})
+            if "weight" in cls_in and "classification" in host_p and \
+                    tuple(cls_in["weight"].shape) != tuple(
+                        np.shape(host_p["classification"]["weight"])):
+                print("note: dropping classification head "
+                      f"{cls_in['weight'].shape} (config expects "
+                      f"{np.shape(host_p['classification']['weight'])}; "
+                      "unused in eval)")
+                p_in = {k: v for k, v in p_in.items()
+                        if k != "classification"}
+            state = state.replace(
+                params=merge_into(host_p, p_in),
+                batch_stats=merge_into(jax.device_get(state.batch_stats),
+                                       s_in))
+        else:
+            restored = ckpt.restore_checkpoint(args.weight_folder, state)
+            if restored is None:
+                raise FileNotFoundError(
+                    f"no checkpoint under {args.weight_folder}/ckpt")
+            state = restored
         eval_step = make_eval_step(model, mesh)
 
         def extract_fn(img_np):
@@ -244,7 +272,9 @@ def parse_args(argv=None):
                    help="msml | iresnet18_v/34_v/50_v (vanilla baseline "
                         "from a torch .pth via --weight)")
     p.add_argument("--weight", type=str, default="",
-                   help="torch .pth for baseline networks")
+                   help="torch .pth: for baseline networks, or (with "
+                        "--network msml) a reference MSML backbone.pth "
+                        "evaluated via on-the-fly transliteration")
     p.add_argument("--dataset", type=str, default="lfw",
                    help="lfw, cfp_fp, agedb_30")
     p.add_argument("--weight_folder", type=str, default="",

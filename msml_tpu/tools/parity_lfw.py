@@ -89,8 +89,11 @@ def _randomize_torch(model, seed: int = 0):
         elif isinstance(m, tnn.PReLU):
             tnn.init.uniform_(m.weight, 0.1, 0.4)
     # reference invariant: the feature BN's scale is frozen at 1.0
-    # (iresnet.py:119-120); every released checkpoint carries exactly 1.0
-    tnn.init.constant_(model.frb.features.weight, 1.0)
+    # (iresnet.py:119-120); every released checkpoint carries exactly 1.0.
+    # (lightcnn has no `features` BN — fc output is the embedding)
+    feat_bn = getattr(model.frb, "features", None)
+    if feat_bn is not None and hasattr(feat_bn, "weight"):
+        tnn.init.constant_(feat_bn.weight, 1.0)
 
 
 def make_synthetic_bin(path: str, n_pairs: int, seed: int = 0,

@@ -435,6 +435,23 @@ def run_our_case(extract_fn, cfg, imgs, issame, lo: int, hi: int,
     return feats, acc, float(roc_acc), np.asarray(tarfar)
 
 
+def _tame_torch_scales(model) -> None:
+    """Rescale _randomize_torch's N(0, 0.1) conv/linear weights to He scale
+    so activations stay O(1) through 18+ layers — keeps the feature-level
+    comparison within normal f32 accumulation error instead of the
+    conditioning blow-up unscaled random nets produce (metric parity holds
+    either way; this makes the reported feature deltas meaningful)."""
+    import math
+
+    import torch.nn as tnn
+    for m in model.modules():
+        if isinstance(m, (tnn.Conv2d, tnn.ConvTranspose2d, tnn.Linear)):
+            w = m.weight
+            fan_in = w.shape[1] * (w.shape[2] * w.shape[3]
+                                   if w.dim() == 4 else 1)
+            w.data.mul_(math.sqrt(2.0 / max(fan_in, 1)) / 0.1)
+
+
 def check_block_alignment(qm, seed: int = 123) -> dict:
     """Bit-exactness of the occlusion pixels: reference RandomBlock (global
     np.random, seeded) vs ours (RandomState, same seed) on the same image.
@@ -523,6 +540,7 @@ def main(args):
         print(f"loaded {args.weight}")
     else:
         _randomize_torch(tmodel, seed=args.seed)
+        _tame_torch_scales(tmodel)
     torch.save(tmodel.state_dict(), os.path.join(weight_folder,
                                                  "backbone.pth"))
 

@@ -86,7 +86,8 @@ def init_train_state(model, cfg, rng, mesh: Mesh,
 
 
 def make_train_step(model, cfg, mesh: Mesh, lr_scales,
-                    pfc: Optional[PartialFC] = None, scan_steps: int = 1):
+                    pfc: Optional[PartialFC] = None, scan_steps: int = 1,
+                    scan_unroll: int = 1):
     """Build the jitted SPMD train step.
 
     step(state, batch, lr_factor, rng) -> (state, metrics)
@@ -95,6 +96,11 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
       lr_factor: LambdaLR epoch factor (core.config.lr_step_factor).
       lr_scales: pytree of python-float per-param LRs
                  (optim.build_lr_scales), closed over as constants.
+      scan_unroll: lax.scan unroll factor for the multi-step window
+                   (0 = full unroll). The device-side while-loop carries
+                   measurable per-iteration overhead (~7% of step time in
+                   the round-3 trace); unrolling removes it and lets XLA
+                   schedule across step boundaries. Numerics unchanged.
     """
     use_osb = bool(cfg.use_osb)
     use_ori = bool(cfg.peer_params.get("use_ori"))
@@ -235,7 +241,8 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
             new_c, metrics = step(carry, batch, lr_factor, rng)
             return new_c, metrics
 
-        state, ms = lax.scan(one, state, batches)
+        unroll = scan_steps if scan_unroll in (0, None) else scan_unroll
+        state, ms = lax.scan(one, state, batches, unroll=int(unroll))
         return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
 
     def bound_multi(state, batches, lr_factor, rng):
