@@ -105,7 +105,7 @@ def main(variant: str = "flagship"):
     state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
     lr_scales = optim.build_lr_scales(state.params, cfg, n)
     scan_unroll = int(os.environ.get("MSML_SCAN_UNROLL",
-                                     cfg.get("scan_unroll", 1)))
+                                     cfg.get("scan_unroll", 2)))
     step = make_train_step(model, cfg, mesh, lr_scales, pfc,
                            scan_steps=SCAN_STEPS, scan_unroll=scan_unroll)
 

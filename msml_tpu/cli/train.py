@@ -127,8 +127,10 @@ def main(args):
     state = load_pretrained(state, cfg)
     lr_scales = optim.build_lr_scales(state.params, cfg, world)
     scan_steps = max(int(args.scan_steps), 1)
+    scan_unroll = int(getattr(args, "scan_unroll", 2))
     step_fn = make_train_step(model, cfg, mesh, lr_scales, pfc,
-                              scan_steps=scan_steps)
+                              scan_steps=scan_steps,
+                              scan_unroll=scan_unroll)
 
     start_epoch = 0
     if args.resume:
@@ -202,7 +204,8 @@ def main(args):
                               > (global_step - scan_steps) // every)
 
         for batch in device_prefetch(epoch_iter, mesh,
-                                     scan_steps=scan_steps):
+                                     scan_steps=scan_steps,
+                              scan_unroll=scan_unroll):
             state, metrics = step_fn(state, batch, lr_factor, rng)
             global_step += scan_steps
             loss_meter.update(float(metrics["total_loss"]))
@@ -251,6 +254,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="crash-safe mid-epoch checkpoint interval (steps)")
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--scan-unroll", type=int, default=2,
+                   help="lax.scan unroll inside the window (PERF.md r3 "
+                        "sweep: 2 is fastest on v5e)")
     p.add_argument("--scan-steps", type=int, default=1,
                    help="train steps per dispatched jit window (lax.scan); "
                         ">1 amortizes host dispatch latency")

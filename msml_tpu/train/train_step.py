@@ -87,7 +87,7 @@ def init_train_state(model, cfg, rng, mesh: Mesh,
 
 def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                     pfc: Optional[PartialFC] = None, scan_steps: int = 1,
-                    scan_unroll: int = 1):
+                    scan_unroll: int = 2):
     """Build the jitted SPMD train step.
 
     step(state, batch, lr_factor, rng) -> (state, metrics)

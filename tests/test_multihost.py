@@ -162,8 +162,10 @@ TRAIN_CHILD = textwrap.dedent("""
         losses.append(float(metrics["total_loss"]))
     psum = float(sum(float(jnp.sum(jnp.abs(x).astype(jnp.float64)))
                      for x in jax.tree.leaves(jax.device_get(state.params))))
-    pfc = float(jnp.sum(jnp.abs(
-        jax.device_get(state.pfc_weight)).astype(jnp.float64)))
+    # pfc_weight spans both processes -> sum this process's shards only;
+    # the test adds the two ranks' partial sums
+    pfc = float(sum(float(jnp.sum(jnp.abs(s.data).astype(jnp.float64)))
+                    for s in state.pfc_weight.addressable_shards))
     print("RESULT" + str(pid) + json.dumps(
         {"losses": losses, "param_abs_sum": psum, "pfc_abs_sum": pfc}),
         flush=True)
@@ -308,5 +310,5 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(r0["losses"], rs["losses"], rtol=2e-4)
     np.testing.assert_allclose(r0["param_abs_sum"], rs["param_abs_sum"],
                                rtol=1e-5)
-    np.testing.assert_allclose(r0["pfc_abs_sum"], rs["pfc_abs_sum"],
-                               rtol=1e-5)
+    np.testing.assert_allclose(r0["pfc_abs_sum"] + r1["pfc_abs_sum"],
+                               rs["pfc_abs_sum"], rtol=1e-5)
