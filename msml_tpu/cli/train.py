@@ -204,8 +204,7 @@ def main(args):
                               > (global_step - scan_steps) // every)
 
         for batch in device_prefetch(epoch_iter, mesh,
-                                     scan_steps=scan_steps,
-                              scan_unroll=scan_unroll):
+                                     scan_steps=scan_steps):
             state, metrics = step_fn(state, batch, lr_factor, rng)
             global_step += scan_steps
             loss_meter.update(float(metrics["total_loss"]))

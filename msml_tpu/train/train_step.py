@@ -227,6 +227,8 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     def bound_step(state, batch, lr_factor, rng):
         return step(state, batch, jnp.asarray(lr_factor, jnp.float32), rng)
 
+    bound_step._jit = step  # AOT access: ._jit.lower(...).compile()
+
     if scan_steps <= 1:
         return bound_step
 
@@ -250,6 +252,7 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
         return multi(state, batches, jnp.asarray(lr_factor, jnp.float32),
                      rng)
 
+    bound_multi._jit = multi  # AOT access: ._jit.lower(...).compile()
     return bound_multi
 
 
