@@ -120,7 +120,9 @@ def fwd_bwd(fn):
     return jax.grad(loss, argnums=(0, 1))
 
 
-def check(name, a, b, tol=1e-2):
+def check(name, a, b, tol=0.1):
+    """bf16 guard only (1-ulp reordering noise at |y|~8 is 0.0625); exact
+    f32 equivalence incl. gradients is proven at small shapes on CPU."""
     d = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
     assert d < tol, (name, d)
 

@@ -87,20 +87,13 @@ class PartialFC:
         return int(self.sample_rate * self.num_local(world_size))
 
     # ---------------------------------------------------------------- sample
-    def sample(self, weight: jnp.ndarray, local_label: jnp.ndarray,
-               rng: jax.Array, world_size: int
-               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Positive-preserving negative-class sampling
-        (`partial_fc.py:77-94`).
-
-        Returns (sub_weight, remapped_label, index). `index` is the sorted
-        per-shard class subset; labels outside it map to -1.
-        """
-        num_local = weight.shape[0]
+    def _sample_indices(self, local_label: jnp.ndarray, rng: jax.Array,
+                        num_local: int, world_size: int
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Index selection of `sample()` — weight-free, so it can run
+        OUTSIDE the autodiff closure (the selection depends only on labels
+        and rng). Returns (sorted unique index, remapped_label)."""
         num_sample = self.num_sample(world_size)
-        if num_sample >= num_local:
-            return weight, local_label, jnp.arange(num_local)
-
         perm = jax.random.uniform(rng, (num_local,))
         valid = local_label >= 0
         pos = jnp.where(valid, local_label, 0)
@@ -110,7 +103,6 @@ class PartialFC:
         perm = perm.at[pos].max(jnp.where(valid, 2.0, -jnp.inf))
         _, index = lax.top_k(perm, num_sample)
         index = jnp.sort(index)
-        sub_weight = weight[index]
         # remap local labels to positions within `index`
         # (`partial_fc.py:92` torch.searchsorted)
         remapped = jnp.searchsorted(index, jnp.where(valid, local_label, 0))
@@ -121,7 +113,57 @@ class PartialFC:
         # Unreachable in practice: num_sample ~ sample_rate*num_local >> batch.
         hit = index[remapped] == jnp.where(valid, local_label, -2)
         remapped = jnp.where(valid & hit, remapped, -1)
+        return index, remapped
+
+    def sample(self, weight: jnp.ndarray, local_label: jnp.ndarray,
+               rng: jax.Array, world_size: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Positive-preserving negative-class sampling
+        (`partial_fc.py:77-94`).
+
+        Returns (sub_weight, remapped_label, index). `index` is the sorted
+        per-shard class subset; labels outside it map to -1.
+        """
+        num_local = weight.shape[0]
+        if self.num_sample(world_size) >= num_local:
+            return weight, local_label, jnp.arange(num_local)
+        index, remapped = self._sample_indices(local_label, rng, num_local,
+                                               world_size)
+        sub_weight = weight.at[index].get(
+            unique_indices=True, indices_are_sorted=True,
+            mode="promise_in_bounds")
         return sub_weight, remapped, index
+
+    def _shard_labels(self, label: jnp.ndarray, num_local: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """all_gather the global labels and map them into this shard's
+        class range (outside -> -1). Returns (local_label, class_start)."""
+        axis = self.axis_name
+        my = lax.axis_index(axis)
+        total_label = lax.all_gather(label, axis, tiled=True)
+        class_start = my * num_local
+        in_shard = (total_label >= class_start) & (
+            total_label < class_start + num_local)
+        return jnp.where(in_shard, total_label - class_start, -1), class_start
+
+    def presample(self, label: jnp.ndarray, rng: jax.Array
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compute (sample_index, local_label) for this shard OUTSIDE the
+        differentiated loss. Folds rng exactly like `loss()` does, so the
+        selected subset is identical; the caller gathers
+        `rows = weight[sample_index]` and differentiates `loss_rows` wrt
+        the rows — AD then produces the (num_sample, d) row gradient
+        directly instead of scatter-adding into a dense (num_local, d)
+        zero tensor (measured 5% of the ir100_pfc step, PERF.md r3).
+        Must run inside shard_map over `axis_name`."""
+        axis = self.axis_name
+        world = lax.axis_size(axis)
+        num_local = self.num_local(world)
+        local_label, _ = self._shard_labels(label, num_local)
+        rng = jax.random.fold_in(rng, lax.axis_index(axis))
+        index, remapped = self._sample_indices(local_label, rng, num_local,
+                                               world)
+        return index, remapped
 
     # ------------------------------------------------------------------ loss
     def loss(self, weight: jnp.ndarray, features: jnp.ndarray,
@@ -142,14 +184,7 @@ class PartialFC:
         num_local = weight.shape[0]
         class_start = my * num_local
 
-        total_label = lax.all_gather(label, axis, tiled=True)      # (B,)
-        total_features = lax.all_gather(features.astype(jnp.float32),
-                                        axis, tiled=True)          # (B, d)
-        batch = total_label.shape[0]
-
-        in_shard = (total_label >= class_start) & (
-            total_label < class_start + num_local)
-        local_label = jnp.where(in_shard, total_label - class_start, -1)
+        local_label, _ = self._shard_labels(label, num_local)
 
         sample_index = None
         if int(self.sample_rate) != 1:
@@ -158,6 +193,30 @@ class PartialFC:
             rng = jax.random.fold_in(rng, my)
             weight, local_label, sample_index = self.sample(
                 weight, local_label, rng, world)
+        return self._ce(weight, features, local_label, sample_index,
+                        class_start)
+
+    def loss_rows(self, rows: jnp.ndarray, features: jnp.ndarray,
+                  local_label: jnp.ndarray, sample_index: jnp.ndarray):
+        """`loss()` for the pre-gathered sampled rows (see `presample`):
+        rows == weight[sample_index], (local_label, sample_index) from
+        `presample`. Differentiating wrt `rows` yields exactly
+        dense_grad[sample_index]; loss value identical to `loss()` with
+        the same rng. Must run inside shard_map over `axis_name`."""
+        axis = self.axis_name
+        world = lax.axis_size(axis)
+        class_start = lax.axis_index(axis) * self.num_local(world)
+        return self._ce(rows, features, local_label, sample_index,
+                        class_start)
+
+    def _ce(self, weight: jnp.ndarray, features: jnp.ndarray,
+            local_label: jnp.ndarray, sample_index, class_start):
+        """Shared smoothed-CE core over this shard's (possibly sampled)
+        class columns `weight`."""
+        axis = self.axis_name
+        total_features = lax.all_gather(features.astype(jnp.float32),
+                                        axis, tiled=True)          # (B, d)
+        batch = total_features.shape[0]
         num_cols = weight.shape[0]
 
         if self.normalize_features:

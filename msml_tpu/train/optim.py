@@ -108,3 +108,25 @@ def pfc_sgd_update(weight: jnp.ndarray, grad: jnp.ndarray,
     weight = weight.at[sample_index].set(rows_w - lr_factor * lr * rows_m)
     momentum = momentum.at[sample_index].set(rows_m)
     return weight, momentum
+
+
+def pfc_sgd_update_rows(weight: jnp.ndarray, rows_grad: jnp.ndarray,
+                        momentum: jnp.ndarray, lr: jnp.ndarray,
+                        lr_factor: jnp.ndarray, weight_decay: float,
+                        momentum_coef: float, sample_index: jnp.ndarray):
+    """`pfc_sgd_update` when the gradient is ALREADY the sampled rows'
+    gradient (see PartialFC.presample/loss_rows): no dense scatter-add in
+    AD and no dense-grad gather here — one sorted-unique gather and one
+    sorted-unique scatter per buffer. Bit-identical update to the dense
+    path (untouched rows have zero grad there and are not written here)."""
+    kw = dict(unique_indices=True, indices_are_sorted=True,
+              mode="promise_in_bounds")
+    rows_w = weight.at[sample_index].get(**kw)
+    rows_g = rows_grad.astype(jnp.float32) + weight_decay * rows_w
+    rows_m = momentum_coef * momentum.at[sample_index].get(**kw) + rows_g
+    skw = dict(unique_indices=True, indices_are_sorted=True,
+               mode="promise_in_bounds")
+    weight = weight.at[sample_index].set(rows_w - lr_factor * lr * rows_m,
+                                         **skw)
+    momentum = momentum.at[sample_index].set(rows_m, **skw)
+    return weight, momentum

@@ -115,6 +115,11 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     momentum_coef = float(cfg.momentum)
     use_pfc = pfc is not None
     world = mesh.shape[DATA_AXIS]
+    # sampled PFC: presample the class subset OUTSIDE the autodiff closure
+    # and differentiate wrt the gathered rows — kills the dense scatter-add
+    # (AD transpose of the in-closure gather; 5% of the ir100 step, PERF.md)
+    use_pfc_rows = (use_pfc and int(pfc.sample_rate) != 1
+                    and pfc.num_sample(world) < pfc.num_local(world))
     pfc_base_lr = cfg.lr / 512.0 * cfg.batch_size * world
     axis = DATA_AXIS
 
@@ -124,6 +129,12 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
         img, label = batch["img"], batch["label"]
         ori = batch["ori"] if use_ori else None
         global_b = img.shape[0] * world
+
+        if use_pfc_rows:
+            pfc_index, pfc_local_label = pfc.presample(label, step_rng)
+            pfc_rows = state.pfc_weight.at[pfc_index].get(
+                unique_indices=True, indices_are_sorted=True,
+                mode="promise_in_bounds")
 
         def loss_fn(params, pfc_weight):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -138,7 +149,12 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                            for v in jax.tree.leaves(
                                mutated.get("losses", {})))
 
-            if use_pfc:
+            if use_pfc_rows:
+                cls_loss, pfc_aux = pfc.loss_rows(pfc_weight, head_out,
+                                                  pfc_local_label, pfc_index)
+                nll = pfc_aux["nll"]
+                sample_index = pfc_aux["sample_index"]
+            elif use_pfc:
                 cls_loss, pfc_aux = pfc.loss(pfc_weight, head_out, label,
                                              step_rng)
                 nll = pfc_aux["nll"]
@@ -168,7 +184,8 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
         if use_pfc:
             (total, aux), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params, state.pfc_weight)
+                state.params,
+                pfc_rows if use_pfc_rows else state.pfc_weight)
             bb_grads, pfc_grad = grads
         else:
             (total, aux), bb_grads = jax.value_and_grad(
@@ -184,7 +201,11 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
             wd, momentum_coef)
 
         new_pfc_w, new_pfc_m = state.pfc_weight, state.pfc_momentum
-        if use_pfc:
+        if use_pfc_rows:
+            new_pfc_w, new_pfc_m = optim.pfc_sgd_update_rows(
+                state.pfc_weight, pfc_grad, state.pfc_momentum, pfc_base_lr,
+                lr_factor, wd, momentum_coef, pfc_index)
+        elif use_pfc:
             new_pfc_w, new_pfc_m = optim.pfc_sgd_update(
                 state.pfc_weight, pfc_grad, state.pfc_momentum, pfc_base_lr,
                 lr_factor, wd, momentum_coef, aux["sample_index"])

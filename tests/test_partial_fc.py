@@ -184,6 +184,69 @@ def test_pfc_sampled_mode():
         assert set(local.tolist()) <= set(index[r].tolist())
 
 
+def test_pfc_rows_path_matches_in_closure_sampling():
+    """presample + loss_rows + pfc_sgd_update_rows (the scatter-free
+    train-step path) must reproduce the in-closure sampled path exactly:
+    same index, same loss, rows_grad == dense_grad[index], same updated
+    weight/momentum."""
+    from msml_tpu.train.optim import pfc_sgd_update, pfc_sgd_update_rows
+
+    feats, _, w = _data(4)
+    num_local = _num_local()
+    labels = np.array([(i % WORLD) * num_local + (i % 2)
+                       for i in range(BATCH)], dtype=np.int32)
+    labels = np.minimum(labels, NUM_CLASSES - 1).astype(np.int32)
+    pfc = PartialFC(num_classes=NUM_CLASSES, embedding_size=DIM,
+                    sample_rate=0.5)
+    mesh = _mesh()
+    rng = jax.random.PRNGKey(7)
+    w, feats, labels = jnp.asarray(w), jnp.asarray(feats), jnp.asarray(labels)
+    mom = 0.3 * jnp.ones_like(w)
+    lr, lrf, wd, mc = jnp.float32(0.1), jnp.float32(1.0), 5e-4, 0.9
+
+    def old(w, feats, labels):
+        def inner(wi):
+            loss, aux = pfc.loss(wi, feats, labels, rng)
+            return loss, aux["sample_index"]
+        (loss, index), g = jax.value_and_grad(inner, has_aux=True)(w)
+        nw, nm = pfc_sgd_update(w, g, mom, lr, lrf, wd, mc, index)
+        return loss, index, g, nw, nm
+
+    def new(w, feats, labels):
+        index, local_label = pfc.presample(labels, rng)
+        rows = w.at[index].get(unique_indices=True,
+                               indices_are_sorted=True,
+                               mode="promise_in_bounds")
+        def inner(r):
+            loss, _ = pfc.loss_rows(r, feats, local_label, index)
+            return loss
+        loss, rg = jax.value_and_grad(inner)(rows)
+        nw, nm = pfc_sgd_update_rows(w, rg, mom, lr, lrf, wd, mc, index)
+        return loss, index, rg, nw, nm
+
+    specs = dict(in_specs=(P("data"), P("data"), P("data")),
+                 out_specs=(P(), P("data"), P("data"), P("data"), P("data")))
+    lo, io, go, wo, mo = jax.shard_map(old, mesh=mesh, **specs)(
+        w, feats, labels)
+    ln, inn, gn, wn, mn = jax.shard_map(new, mesh=mesh, **specs)(
+        w, feats, labels)
+
+    assert float(lo) == float(ln)
+    np.testing.assert_array_equal(np.asarray(io), np.asarray(inn))
+    # rows grad == dense grad gathered at the sampled rows, per shard
+    go = np.asarray(go).reshape(WORLD, num_local, DIM)
+    gn = np.asarray(gn).reshape(WORLD, -1, DIM)
+    idx = np.asarray(io).reshape(WORLD, -1)
+    for r in range(WORLD):
+        np.testing.assert_array_equal(go[r][idx[r]], gn[r])
+        # unsampled rows got zero dense grad (so the updates can match)
+        mask = np.ones(num_local, bool)
+        mask[idx[r]] = False
+        assert np.all(go[r][mask] == 0.0)
+    np.testing.assert_array_equal(np.asarray(wo), np.asarray(wn))
+    np.testing.assert_array_equal(np.asarray(mo), np.asarray(mn))
+
+
 def test_init_pfc_weight_shape():
     w = init_pfc_weight(jax.random.PRNGKey(0), NUM_CLASSES, WORLD, DIM)
     assert w.shape == (WORLD * _num_local(), DIM)
