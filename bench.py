@@ -88,6 +88,8 @@ def main(variant: str = "flagship"):
     mesh = Mesh(np.array(devices), ("data",))
 
     cfg = load_variant_config(variant)
+    if os.environ.get("MSML_BATCH_OVERRIDE"):   # sweep hook, bench-only
+        cfg.batch_size = int(os.environ["MSML_BATCH_OVERRIDE"])
     use_pfc = bool(cfg.get("use_partial_fc"))
     pfc = None
     if use_pfc:

@@ -9,6 +9,11 @@ Detector sources (the reference's MTCNN/PIPNet/RetinaFace are all external
 model zoos; none ship in this image):
   * --landmarks FILE: precomputed 5-pt landmarks, one line per image:
       <relative/path.jpg> x1 y1 x2 y2 x3 y3 x4 y4 x5 y5
+  * --mtcnn-weights DIR: the bundled JAX MTCNN cascade.
+  * --retinaface-prefix PREFIX: an mxnet RetinaFace checkpoint
+    (PREFIX-symbol.json + PREFIX-0000.params, e.g. the public R50
+    release), executed by the bundled JAX mxnet-graph runtime — the
+    center-face protocol of `iterate_pku.py`.
   * --yunet MODEL.onnx: OpenCV FaceDetectorYN (returns exactly the 5
     landmarks: eyes, nose, mouth corners) when you supply the model file.
 
@@ -55,6 +60,22 @@ class MTCNNDetector:
         pil = Image.fromarray(img_bgr[:, :, ::-1])  # detector wants RGB
         return self.det.landmarks5(pil, min_face_size=self.min_face_size,
                                    thresholds=self.thresholds)
+
+
+class RetinaFaceDetector:
+    """RetinaFace mxnet checkpoint (detect/retinaface.py + the JAX
+    mxnet-graph runtime) -> center-face 5-pt landmarks, the protocol
+    `iterate_pku.py:155-164` uses to align PKU-Masked-Face."""
+
+    def __init__(self, prefix: str, epoch: int = 0, threshold: float = 0.5,
+                 network: str = "net3"):
+        from msml_tpu.detect.retinaface import RetinaFace
+        self.det = RetinaFace.from_checkpoint(prefix, epoch, network=network)
+        self.threshold = threshold
+
+    def __call__(self, img_bgr: np.ndarray) -> Optional[np.ndarray]:
+        _, lmk = self.det.detect_center(img_bgr, threshold=self.threshold)
+        return None if lmk is None else lmk.astype(np.float32)
 
 
 class YuNetDetector:
@@ -120,6 +141,12 @@ if __name__ == "__main__":
     p.add_argument("--mtcnn-weights", type=str, default="",
                    help="directory with the public MTCNN pnet/rnet/onet "
                         ".npy weights (bundled JAX cascade)")
+    p.add_argument("--retinaface-prefix", type=str, default="",
+                   help="mxnet checkpoint prefix (PREFIX-symbol.json + "
+                        "PREFIX-0000.params) for the RetinaFace detector, "
+                        "e.g. the public R50 release the reference uses "
+                        "for PKU-Masked-Face")
+    p.add_argument("--retinaface-epoch", type=int, default=0)
     p.add_argument("--min-face-size", type=float, default=20.0)
     p.add_argument("--thresholds", type=float, nargs=3,
                    default=[0.6, 0.7, 0.8],
@@ -136,6 +163,8 @@ if __name__ == "__main__":
     if a.mtcnn_weights:
         det = MTCNNDetector(a.mtcnn_weights, a.min_face_size,
                             tuple(a.thresholds))
+    elif a.retinaface_prefix:
+        det = RetinaFaceDetector(a.retinaface_prefix, a.retinaface_epoch)
     elif a.yunet:
         det = YuNetDetector(a.yunet)
     if lmk is None and det is None:

@@ -5,12 +5,14 @@ sizes, matching the live model's outputs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from msml_tpu.core.precision import FULL_PRECISION
 from msml_tpu.nn.msml import MSML
 from msml_tpu.tools.export_serving import export_eval_fn
 
 
+@pytest.mark.slow
 def test_export_serving_roundtrip():
     from jax import export
 

@@ -39,6 +39,7 @@ def _tree_equal(a, b, path=""):
                                    err_msg=path)
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip():
     model, variables = _init_model()
     params = jax.device_get(variables["params"])
@@ -57,6 +58,7 @@ def test_export_import_roundtrip():
     assert "fm_op0" in params_in and "res0" in params_in["fm_op0"]
 
 
+@pytest.mark.slow
 def test_export_loads_strict_into_torch_oracle():
     """The exported dict must satisfy torch load_state_dict(strict=True) on
     the reference-architecture oracle and produce the same eval forward."""
@@ -91,6 +93,7 @@ def test_export_loads_strict_into_torch_oracle():
     assert cos.min() > 0.999, cos
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip_lightcnn():
     """LightCNN flavor: export -> import identity on the full tree."""
     model = MSML(frb_type="lightcnn", num_classes=16, use_osb=True,

@@ -184,6 +184,7 @@ def test_pfc_sampled_mode():
         assert set(local.tolist()) <= set(index[r].tolist())
 
 
+@pytest.mark.slow
 def test_pfc_rows_path_matches_in_closure_sampling():
     """presample + loss_rows + pfc_sgd_update_rows (the scatter-free
     train-step path) must reproduce the in-closure sampled path exactly:

@@ -152,6 +152,7 @@ def test_align_dataset_with_landmark_file(tmp_path):
                                img[20:132, 20:132].astype(int), atol=6)
 
 
+@pytest.mark.slow
 def test_load_pretrained_roundtrip(tmp_path):
     """export_frb npz -> load_pretrained into a fresh state: frb and peer
     subtrees must carry the exported weights."""
