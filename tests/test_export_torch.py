@@ -116,6 +116,7 @@ def test_export_import_roundtrip_lightcnn():
         np.asarray(params["frb"]["fc"]["kernel"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip_peer():
     """Peer-teacher branch of the exporter (frb.peer.*) round-trips."""
     model = MSML(frb_type="iresnet18", num_classes=16, use_osb=True,
