@@ -314,11 +314,13 @@ class MXGraph:
                         x, -jnp.inf, lax.max, (1, kh, kw, 1), (1, sh, sw, 1),
                         ((0, 0), pads[0], pads[1], (0, 0)))
                 else:
-                    ones = jnp.ones_like(x)
                     win = lambda t: lax.reduce_window(
                         t, 0.0, lax.add, (1, kh, kw, 1), (1, sh, sw, 1),
                         ((0, 0), pads[0], pads[1], (0, 0)))
-                    y = win(x) / win(ones)
+                    if _bool(a.get("count_include_pad"), True):
+                        y = win(x) / (kh * kw)   # mxnet default: pad counts
+                    else:
+                        y = win(x) / win(jnp.ones_like(x))
                 vals[nid] = y
 
             elif op in ("elemwise_add", "_Plus", "_plus", "broadcast_add",
@@ -334,15 +336,22 @@ class MXGraph:
                     ins, axis=3 if axis == 1 and ins[0].ndim == 4 else axis)
 
             elif op == "UpSampling":
+                st = a.get("sample_type", "nearest")
+                if st != "nearest":
+                    raise NotImplementedError(f"UpSampling sample_type {st}")
                 scale = int(a.get("scale", 2))
                 x = ins[0]
                 vals[nid] = jnp.repeat(jnp.repeat(x, scale, axis=1),
                                        scale, axis=2)
 
             elif op == "Crop":
-                # FPN usage: crop(upsampled, like) -> spatial dims of `like`
-                x, like = ins[0], ins[1]
-                h, w = like.shape[1], like.shape[2]
+                # FPN usage: crop(upsampled, like) -> spatial dims of `like`;
+                # single-input form crops to the h_w attr
+                x = ins[0]
+                if len(ins) > 1 and ins[1] is not None:
+                    h, w = ins[1].shape[1], ins[1].shape[2]
+                else:
+                    h, w = _tuple(a.get("h_w"))
                 if _bool(a.get("center_crop")):
                     oh = (x.shape[1] - h) // 2
                     ow = (x.shape[2] - w) // 2
