@@ -35,9 +35,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 A100_EST_IPS = 1500.0  # estimated reference PyTorch AMP img/s on one A100
 TARGET_IPS = 2.0 * A100_EST_IPS
 
-SCAN_STEPS = 8     # steps per dispatched window (lax.scan inside one jit);
-                   # amortizes the ~2 ms/step host->tunnel dispatch gap
-                   # measured between device-op time and wall time (PERF.md)
+SCAN_STEPS = 16    # steps per dispatched window (lax.scan inside one jit);
+                   # amortizes the ~2 ms/step host->tunnel dispatch gap.
+                   # Measured (PERF.md r3): 8 -> 3086.8, 16 -> 3097.8
+                   # img/s/chip; override with MSML_SCAN_STEPS.
 WARMUP_WINDOWS = 3  # covers initial compile + donation-aliasing recompile
 MEASURE_WINDOWS = 16  # 128 steps per fence: the final device-read costs one
                       # ~35 ms tunnel RTT; spreading it over more steps keeps
@@ -90,6 +91,7 @@ def main(variant: str = "flagship"):
     cfg = load_variant_config(variant)
     if os.environ.get("MSML_BATCH_OVERRIDE"):   # sweep hook, bench-only
         cfg.batch_size = int(os.environ["MSML_BATCH_OVERRIDE"])
+    scan_steps = int(os.environ.get("MSML_SCAN_STEPS", SCAN_STEPS))
     use_pfc = bool(cfg.get("use_partial_fc"))
     pfc = None
     if use_pfc:
@@ -109,7 +111,7 @@ def main(variant: str = "flagship"):
     scan_unroll = int(os.environ.get("MSML_SCAN_UNROLL",
                                      cfg.get("scan_unroll", 2)))
     step = make_train_step(model, cfg, mesh, lr_scales, pfc,
-                           scan_steps=SCAN_STEPS, scan_unroll=scan_unroll)
+                           scan_steps=scan_steps, scan_unroll=scan_unroll)
 
     batch_per_chip = int(cfg.batch_size)
     global_batch = batch_per_chip * n
@@ -118,7 +120,7 @@ def main(variant: str = "flagship"):
     if not cfg.peer_params.get("use_ori"):
         del batch["ori"]
     batch = jax.tree.map(lambda x: np.broadcast_to(
-        x, (SCAN_STEPS,) + x.shape).copy(), batch)
+        x, (scan_steps,) + x.shape).copy(), batch)
     batch = jax.device_put(batch)
 
     # NOTE: through the axon TPU relay, block_until_ready can return before
@@ -135,7 +137,7 @@ def main(variant: str = "flagship"):
     float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
-    ips = MEASURE_WINDOWS * SCAN_STEPS * global_batch / dt
+    ips = MEASURE_WINDOWS * scan_steps * global_batch / dt
     ips_chip = ips / n
     # metric names follow the yaml's output_prefix (round-2 continuity:
     # flagship -> arc18_msml_..., peer_dec -> arc18_msml_peer_dec_...)
