@@ -1,0 +1,29 @@
+"""Training-step both-stacks parity (tools/parity_train.py): the reference's
+training forward + CE + consensus-seg loss + backward executed in place vs
+ours on identical weights/batch. Slow: full-MSML forward+backward in both
+stacks on CPU."""
+
+import os
+
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo absent")
+def test_train_step_parity(tmp_path):
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from msml_tpu.tools.parity_train import main, parse_args
+    res = main(parse_args(["--batch", "6", "--classes", "12"]))
+    # losses pinned tight (means, f32)
+    assert res["losses"]["total"]["rel"] <= 1e-4
+    assert res["losses"]["cls"]["rel"] <= 1e-4
+    assert res["losses"]["seg"]["rel"] <= 1e-4
+    assert res["losses"]["kd"]["delta"] == 0.0
+    # every module's gradient: direction + magnitude pinned
+    for top, r in res["grads"].items():
+        assert r["cos"] >= 1.0 - 1e-5, (top, r)
+        assert r["norm_rel_delta"] <= 1e-3, (top, r)
+    assert res["all_pass"], res
