@@ -4,12 +4,27 @@ Parity target: `eval/qeval_folder.py:16-321` `EvaluatorFolder`:
   * dataset: folder/<identity>/<img>, pairs.txt lines
     "<id> <i> <j>" (same) or "<id1> <i> <id2> <j>" (diff); images are
     1-indexed (qeval_folder.py:39-75)
-  * center-crop to out_size, flip-sum features (120-238)
+  * input transform: Resize(out_size) -> CenterCrop(112) -> ToTensor ->
+    [-1,1] norm (qeval_folder.py:120-137,174-182); flip-sum features
   * metrics: cosine-distance ROC accuracy at tpr ~= 1-fpr + TAR@FAR
     {1e-1, 1e-2, 1e-3} (242-313) — shares the vectorized math with
     eval/occ_sweep.roc_acc_and_tarfar
   * model cost accounting (#Params / GFLOPs) via jax instead of thop
     (315-321)
+
+Pinned both-stacks by `tools/parity_folder.py` (pair loading, input
+transform, metric chain — the reference's own code executed in place).
+
+Documented deviations (reference bugs not replicated):
+  * `start_extract`'s inference block is indented INSIDE the flip-fill
+    loop (qeval_folder.py:165-239) and returns during its first
+    iteration, so rows 1..N-1 of the flip buffer are still zero images
+    (normalized to constant -1) when the flip-sum happens — the "flip
+    feature" added to every image but the first is f(-1). We flip-sum
+    real flipped images (the evident intent, and what qeval_mxnet does).
+  * the gray/128 config would crash in the reference (the 112-crop
+    tensor is assigned into a cfg.out_size=128 buffer, 159-176); we
+    resize+crop to out_size so gray folder eval works.
 """
 
 from __future__ import annotations
@@ -53,6 +68,28 @@ def load_folder_pairs(dataset_folder: str, pair_txt: str
     return img_pairs, labels
 
 
+def tensorize_folder_img(img: Image.Image, out_size=(112, 112),
+                         use_norm: bool = True, is_gray: bool = False,
+                         flip: bool = False) -> np.ndarray:
+    """`_load_one_input` + the [-1,1] norm (qeval_folder.py:120-137,
+    174-182), HWC float32: flip -> Resize(out_size) (torchvision tuple
+    semantics = PIL bilinear to exactly (w,h)) -> CenterCrop(out_size) ->
+    /255 -> [-1,1]."""
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    w, h = out_size[0], out_size[1]
+    if img.size != (w, h):
+        img = img.resize((w, h), Image.BILINEAR)
+    img = center_crop(img, out_size)
+    a = np.asarray(img, np.float32) / 255.0
+    if is_gray:
+        a = ((0.2989 * a[..., 0] + 0.5870 * a[..., 1]
+              + 0.1140 * a[..., 2]) / 3.0)[..., None]
+    elif use_norm:
+        a = (a - 0.5) / 0.5
+    return a
+
+
 def evaluate_folder(dataset_folder: str, pair_txt: str,
                     extract_fn: Callable, out_size=(112, 112),
                     batch_size: int = 16, use_norm: bool = True,
@@ -62,18 +99,9 @@ def evaluate_folder(dataset_folder: str, pair_txt: str,
     n = len(imgs)
     features = np.zeros((n, dim_feature))
     for flip in (False, True):
-        arr = np.zeros((n, out_size[1], out_size[0],
-                        1 if is_gray else 3), np.float32)
-        for i, img in enumerate(imgs):
-            one = img.transpose(Image.FLIP_LEFT_RIGHT) if flip else img
-            one = center_crop(one, out_size)
-            a = np.asarray(one, np.float32) / 255.0
-            if is_gray:
-                a = ((0.2989 * a[..., 0] + 0.5870 * a[..., 1]
-                      + 0.1140 * a[..., 2]) / 3.0)[..., None]
-            arr[i] = a
-        if use_norm and not is_gray:
-            arr = (arr - 0.5) / 0.5
+        arr = np.stack([tensorize_folder_img(img, out_size, use_norm,
+                                             is_gray, flip)
+                        for img in imgs])
         for s in range(0, n, batch_size):
             e = min(s + batch_size, n)
             features[s:e] += np.asarray(extract_fn(arr[s:e]))

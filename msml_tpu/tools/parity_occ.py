@@ -177,6 +177,21 @@ def _install_torchvision_stub() -> None:
             top = int(round((h - th) / 2.0))
             return img.crop((left, top, left + tw, top + th))
 
+    class Resize:
+        """torchvision v1 tuple semantics (F_pil.resize): a (h, w) size
+        always maps to img.resize((w, h), interpolation); default
+        interpolation bilinear."""
+
+        def __init__(self, size, interpolation=None):
+            from PIL import Image as _Image
+            self.size = (int(size), int(size)) if isinstance(
+                size, (int, float)) else tuple(int(s) for s in size)
+            self.interpolation = (interpolation if interpolation is not None
+                                  else _Image.BILINEAR)
+
+        def __call__(self, img):
+            return img.resize(self.size[::-1], self.interpolation)
+
     class Grayscale:
         def __init__(self, num_output_channels: int = 1):
             self.num_output_channels = num_output_channels
@@ -198,9 +213,12 @@ def _install_torchvision_stub() -> None:
 
     tr.Compose, tr.CenterCrop = Compose, CenterCrop
     tr.Grayscale, tr.ToTensor = Grayscale, ToTensor
+    tr.Resize = Resize
+    tr.transforms = tr  # `from torchvision.transforms import transforms`
     tv.transforms = tr
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tr
+    sys.modules["torchvision.transforms.transforms"] = tr
 
 
 def patch_cuda_noop() -> None:
