@@ -27,9 +27,18 @@ import time
 import jax
 import numpy as np
 
+from msml_tpu.core.tpu_flags import apply_tuned_flags, flag_cache_dir
+
+# measured-win libtpu flags (PERF.md flag sweep); must precede backend init
+apply_tuned_flags()
+
 # persistent compile cache: remote TPU compiles through the axon tunnel can
-# take minutes and vary wildly; cache them across bench runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/msml_jax_cache_tpu")
+# take minutes and vary wildly; cache them across bench runs. The dir is
+# keyed on LIBTPU_INIT_ARGS — libtpu flags are not part of jax's cache key,
+# and a stale executable compiled under other flags would silently ignore
+# the tuning.
+jax.config.update("jax_compilation_cache_dir",
+                  flag_cache_dir("/tmp/msml_jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_EST_IPS = 1500.0  # estimated reference PyTorch AMP img/s on one A100

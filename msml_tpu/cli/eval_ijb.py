@@ -41,6 +41,8 @@ def load_name_lmk_score(path: str):
 
 def main(args):
     import jax
+    from msml_tpu.core.tpu_flags import apply_tuned_flags
+    apply_tuned_flags()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import cv2

@@ -20,6 +20,8 @@ import numpy as np
 
 
 def main(args):
+    from msml_tpu.core.tpu_flags import apply_tuned_flags
+    apply_tuned_flags()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

@@ -58,6 +58,8 @@ def build_dataset(cfg, args, local_world: int):
 
 
 def main(args):
+    from msml_tpu.core.tpu_flags import apply_tuned_flags
+    apply_tuned_flags()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu" and args.cpu_devices > 1:

@@ -1,0 +1,48 @@
+"""Tuned libtpu/XLA compiler flags (measured wins only; PERF.md round 3).
+
+The reference has no analogue — CUDA heuristics are fixed at build time;
+on TPU the XLA compiler exposes tuning knobs through `LIBTPU_INIT_ARGS`.
+A measured sweep on the v5e chip (PERF.md "libtpu flag sweep") found
+`--xla_tpu_enable_experimental_fusion_cost_model=true` worth +1.5% on the
+flagship step and nothing else recoverable (raising scoped VMEM was -5.5%;
+latency-hiding scheduler, rwb-fusion-off and region-based copy insertion
+were noise).
+
+`apply_tuned_flags()` must run before the TPU backend initializes (first
+device use, not `import jax`). Escape hatch: `MSML_NO_TUNED_FLAGS=1`
+(e.g. for a libtpu version that does not know a flag — unknown flags fail
+loudly at backend init). Flags already present in `LIBTPU_INIT_ARGS` are
+never overridden.
+"""
+
+from __future__ import annotations
+
+import os
+
+TUNED_FLAGS = (
+    "--xla_tpu_enable_experimental_fusion_cost_model=true",
+)
+
+
+def apply_tuned_flags() -> str:
+    """Append tuned flags to LIBTPU_INIT_ARGS (idempotent; user-set values
+    win). Returns the resulting value."""
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if os.environ.get("MSML_NO_TUNED_FLAGS") == "1":
+        return cur
+    add = [f for f in TUNED_FLAGS if f.split("=", 1)[0] not in cur]
+    if add:
+        cur = (cur + " " + " ".join(add)).strip()
+        os.environ["LIBTPU_INIT_ARGS"] = cur
+    return cur
+
+
+def flag_cache_dir(base: str) -> str:
+    """Persistent-compile-cache dir keyed on LIBTPU_INIT_ARGS: libtpu
+    flags are not part of jax's cache key, so executables compiled under
+    different flags must not share a cache."""
+    import hashlib
+    flags = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if not flags:
+        return base
+    return f"{base}_{hashlib.md5(flags.encode()).hexdigest()[:8]}"
