@@ -27,6 +27,9 @@ import time
 import jax
 import numpy as np
 
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from msml_tpu.core.tpu_flags import apply_tuned_flags, flag_cache_dir
 
 # measured-win libtpu flags (PERF.md flag sweep); must precede backend init
