@@ -275,5 +275,10 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (pyproject [project.scripts])."""
     main(parse_args())
+
+
+if __name__ == "__main__":
+    cli()
