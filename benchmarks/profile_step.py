@@ -18,6 +18,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -102,8 +103,14 @@ def main():
 
     # ---- optimized HLO dump (AOT)
     hlo_path = f"/tmp/msml_prof_{variant}.hlo"
-    lowered = step.lower(state, batch, 1.0, rng) if hasattr(step, "lower") \
-        else jax.jit(step).lower(state, batch, 1.0, rng)
+    # use the shipped inner jit (step._jit, train_step.py) so the dump
+    # keeps its donate_argnums buffer aliasing — re-jitting the wrapper
+    # would trace the donating jit inline and lose the donation
+    inner = getattr(step, "_jit", None)
+    if inner is not None:
+        lowered = inner.lower(state, batch, jnp.float32(1.0), rng)
+    else:
+        lowered = jax.jit(step).lower(state, batch, 1.0, rng)
     compiled = lowered.compile()
     with open(hlo_path, "w") as f:
         f.write(compiled.as_text())

@@ -129,7 +129,9 @@ def main(args):
     state = load_pretrained(state, cfg)
     lr_scales = optim.build_lr_scales(state.params, cfg, world)
     scan_steps = max(int(args.scan_steps), 1)
-    scan_unroll = int(getattr(args, "scan_unroll", 2))
+    scan_unroll = getattr(args, "scan_unroll", None)
+    if scan_unroll is None:  # CLI flag wins; else yaml; else tuned default
+        scan_unroll = int(cfg.get("scan_unroll", 2))
     step_fn = make_train_step(model, cfg, mesh, lr_scales, pfc,
                               scan_steps=scan_steps,
                               scan_unroll=scan_unroll)
@@ -190,7 +192,10 @@ def main(args):
         args.ver_every, ver_targets, cfg.rec, extract_fn,
         image_size=cfg.out_size, is_gray=cfg.is_gray,
         use_norm=cfg.use_norm, logger=logger,
-        prepare_fn=ver_prepare_fn)
+        prepare_fn=ver_prepare_fn,
+        # release the host param snapshot after each round — it is a full
+        # f32 copy of the model and must not stay resident between rounds
+        finish_fn=(_ver_snap.clear if multihost else None))
 
     global_step = int(state.step)
     start_epoch = global_step // max(steps_per_epoch, 1)
@@ -255,9 +260,10 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="crash-safe mid-epoch checkpoint interval (steps)")
     p.add_argument("--seed", type=int, default=1)
-    p.add_argument("--scan-unroll", type=int, default=2,
-                   help="lax.scan unroll inside the window (PERF.md r3 "
-                        "sweep: 2 is fastest on v5e)")
+    p.add_argument("--scan-unroll", type=int, default=None,
+                   help="lax.scan unroll inside the window (default: yaml "
+                        "scan_unroll, else 2 — PERF.md r3 sweep: 2 is "
+                        "fastest on v5e)")
     p.add_argument("--scan-steps", type=int, default=1,
                    help="train steps per dispatched jit window (lax.scan); "
                         ">1 amortizes host dispatch latency")

@@ -26,13 +26,16 @@ class CallBackVerification:
                  image_size=(112, 112), is_gray: bool = False,
                  use_norm: bool = True, batch_size: int = 40,
                  logger: Optional[logging.Logger] = None,
-                 prepare_fn: Optional[Callable[[], None]] = None):
+                 prepare_fn: Optional[Callable[[], None]] = None,
+                 finish_fn: Optional[Callable[[], None]] = None):
         self.frequency = frequency
         self.extract_fn = extract_fn
         # called once per verification round, before any extract_fn batch —
         # lets callers snapshot device params to host once instead of
-        # re-fetching the unchanged tree on every eval batch
+        # re-fetching the unchanged tree on every eval batch; finish_fn is
+        # the matching post-round hook (release the snapshot)
         self.prepare_fn = prepare_fn
+        self.finish_fn = finish_fn
         self.is_gray = is_gray
         self.use_norm = use_norm
         self.batch_size = batch_size
@@ -55,9 +58,16 @@ class CallBackVerification:
 
     def ver_test(self, global_step: int):
         """utils/utils_callbacks.py:26-38."""
+        try:
+            if self.prepare_fn is not None and self.ver_list:
+                self.prepare_fn()
+            return self._ver_test_inner(global_step)
+        finally:
+            if self.finish_fn is not None and self.ver_list:
+                self.finish_fn()
+
+    def _ver_test_inner(self, global_step: int):
         from msml_tpu.eval.verification import test
-        if self.prepare_fn is not None and self.ver_list:
-            self.prepare_fn()
         results = []
         for i, (data_list, issame) in enumerate(self.ver_list):
             acc2, std2, xnorm, _ = test(data_list, issame, self.extract_fn,

@@ -28,8 +28,15 @@ def _manager(output_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
 
 def save_checkpoint(output_dir: str, state: Any, step: int) -> None:
     """The payload is exactly {'state': state} so it structurally matches the
-    restore template; derive epoch etc. from state.step."""
+    restore template; derive epoch etc. from state.step.
+
+    Saving the same step twice is a no-op rather than an orbax
+    StepAlreadyExistsError — a periodic `--ckpt-every` save can land on
+    the same step as the epoch-end (or --steps early-exit) save."""
     mngr = _manager(output_dir)
+    if step in mngr.all_steps():
+        mngr.close()
+        return
     mngr.save(step, args=ocp.args.StandardSave({"state": state}))
     mngr.wait_until_finished()
     mngr.close()

@@ -201,7 +201,8 @@ USER_KEYS = ("dataset", "fp16", "batch_size", "frb_type", "osb_type",
              "use_osb", "fm_layers", "fm_params", "peer_params",
              "header_type", "header_params", "exp_id", "output_prefix",
              "num_classes", "num_epoch", "sample_rate", "use_partial_fc",
-             "remat", "kd_loss_weight", "decoder_loss_weight", "rec",
+             "remat", "kd_metric", "kd_loss_weight", "decoder_loss_weight",
+             "rec", "scan_unroll",
              "out_folder", "dropout", "pretrained_backbone", "peer_weights")
 """The user-level config surface (reference config.yaml keys + our
 extensions); what gets persisted next to weights."""

@@ -30,7 +30,8 @@ def apply_tuned_flags() -> str:
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
     if os.environ.get("MSML_NO_TUNED_FLAGS") == "1":
         return cur
-    add = [f for f in TUNED_FLAGS if f.split("=", 1)[0] not in cur]
+    present = {t.split("=", 1)[0] for t in cur.split()}
+    add = [f for f in TUNED_FLAGS if f.split("=", 1)[0] not in present]
     if add:
         cur = (cur + " " + " ".join(add)).strip()
         os.environ["LIBTPU_INIT_ARGS"] = cur

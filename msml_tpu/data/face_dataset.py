@@ -294,7 +294,10 @@ class FaceByRandOccMask:
             # at the epoch boundary waiting for each other's SPMD launches
             pad = (-len(order)) % self.num_shards
             if pad:
-                order = np.concatenate([order, order[:pad]])
+                # np.resize tiles cyclically, so this also covers
+                # pad > len(order) (num_shards >> dataset size), like
+                # DistributedSampler's repeated-indices padding
+                order = np.resize(order, len(order) + pad)
             order = order[self.shard_id::self.num_shards]
         nb = len(order) // self.batch_size
 

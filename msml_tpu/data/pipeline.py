@@ -19,7 +19,7 @@ from typing import Iterator
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from msml_tpu.core.mesh import DATA_AXIS
+from msml_tpu.core.mesh import DATA_AXIS, batch_sharding
 
 _SENTINEL = object()
 
@@ -62,7 +62,7 @@ def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2,
         it = _stack_windows(it, scan_steps)
         sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     else:
-        sharding = NamedSharding(mesh, P(DATA_AXIS))
+        sharding = batch_sharding(mesh)
     multihost = jax.process_count() > 1
 
     def put(batch):

@@ -332,8 +332,9 @@ class MXGraph:
 
             elif op == "Concat":
                 axis = int(a.get("dim", 1))
-                vals[nid] = jnp.concatenate(
-                    ins, axis=3 if axis == 1 and ins[0].ndim == 4 else axis)
+                if ins[0].ndim == 4:  # graph dims are NCHW; tensors are NHWC
+                    axis = {0: 0, 1: 3, 2: 1, 3: 2}[axis]
+                vals[nid] = jnp.concatenate(ins, axis=axis)
 
             elif op == "UpSampling":
                 st = a.get("sample_type", "nearest")
@@ -390,17 +391,36 @@ class MXGraph:
                     y = y + jnp.asarray(self._param(name + "_bias"))
                 vals[nid] = y
 
-            elif op in ("SoftmaxActivation", "softmax", "SoftmaxOutput"):
+            elif op == "SoftmaxActivation":
                 x = ins[0]
-                mode = a.get("mode", "instance")
                 import jax.nn
-                if x.ndim == 4 and (mode == "channel" or op != "softmax"):
-                    vals[nid] = jax.nn.softmax(x, axis=3)   # NHWC channel
+                if a.get("mode", "instance") == "channel":
+                    vals[nid] = jax.nn.softmax(
+                        x, axis=3 if x.ndim == 4 else 1)
                 else:
-                    axis = int(a.get("axis", -1))
-                    if x.ndim == 4 and axis == 1:
-                        axis = 3
-                    vals[nid] = jax.nn.softmax(x, axis=axis)
+                    # mxnet 'instance' (the default): normalize over the
+                    # flattened non-batch elements, not the channel axis.
+                    vals[nid] = jax.nn.softmax(
+                        x.reshape(x.shape[0], -1), axis=1).reshape(x.shape)
+
+            elif op == "SoftmaxOutput":
+                x = ins[0]
+                import jax.nn
+                if x.ndim == 4 and _bool(a.get("multi_output")):
+                    vals[nid] = jax.nn.softmax(x, axis=3)  # per-position C
+                elif x.ndim <= 2:
+                    vals[nid] = jax.nn.softmax(x, axis=-1)
+                else:
+                    vals[nid] = jax.nn.softmax(
+                        x.reshape(x.shape[0], -1), axis=1).reshape(x.shape)
+
+            elif op == "softmax":
+                x = ins[0]
+                import jax.nn
+                axis = int(a.get("axis", -1))
+                if x.ndim == 4 and axis in (1, 2, 3):  # NCHW axis -> NHWC
+                    axis = {1: 3, 2: 1, 3: 2}[axis]
+                vals[nid] = jax.nn.softmax(x, axis=axis)
 
             elif op in ("Dropout", "identity", "_copy", "BlockGrad"):
                 vals[nid] = ins[0]

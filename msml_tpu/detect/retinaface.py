@@ -173,7 +173,11 @@ class RetinaFace:
         from msml_tpu.detect.mxnet_graph import MXGraph
         graph = MXGraph.load(prefix, epoch)
         n_heads = len(graph.heads)
-        kw.setdefault("use_landmarks", n_heads // 3 >= 1 and n_heads % 3 == 0)
+        # Reference rule (retinaface.py:102): use_landmarks iff the graph has
+        # 3 heads per stride (cls, bbox, landmark). A plain cls+bbox net3
+        # checkpoint has 6 heads, so `n_heads % 3 == 0` would misclassify it.
+        strides, _ = anchor_cfg_for(kw.get("network", "net3"))
+        kw.setdefault("use_landmarks", n_heads // len(strides) == 3)
         return cls(graph, **kw)
 
     # ------------------------------------------------------------- protocol

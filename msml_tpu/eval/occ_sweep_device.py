@@ -24,6 +24,21 @@ from msml_tpu.eval.verification import l2_normalize_np
 from msml_tpu.kernels.augment import device_augment_batch
 
 
+def pil_gray(d) -> jnp.ndarray:
+    """Host-sweep gray convention (occ_sweep._extract_occluded):
+    torchvision Grayscale = PIL 'L' integer ITU-R 601-2 BEFORE the block,
+    then [0,1] + the same use_norm normalization as RGB. Inputs are
+    integer-valued [0,255] floats (load_bin output), so PIL's fixed-point
+    rounding ((R*19595 + G*38470 + B*7471 + 0x8000) >> 16) is reproduced
+    exactly (all intermediates <= 2^24, exact in f32). The luminance/3
+    quirk belongs to the *callback* path (verification.py:250-254), not
+    this protocol."""
+    d = jnp.asarray(d, jnp.float32)
+    l24 = d[..., 0] * 19595. + d[..., 1] * 38470. + d[..., 2] * 7471. \
+        + 32768.
+    return (jnp.floor(l24 / 65536.0) / 255.0)[..., None]
+
+
 def occlusion_sweep_device(data_list: List[np.ndarray],
                            issame: Sequence[bool],
                            extract_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -39,10 +54,10 @@ def occlusion_sweep_device(data_list: List[np.ndarray],
         lo_list, hi_list = [0], [1]
 
     # move both copies to device once, in [0, 1]
-    dev = [jnp.asarray(d, jnp.float32) / 255.0 for d in data_list]
     if is_gray:
-        dev = [((0.2989 * d[..., 0] + 0.5870 * d[..., 1]
-                 + 0.1140 * d[..., 2]) / 3.0)[..., None] for d in dev]
+        dev = [pil_gray(d) for d in data_list]
+    else:
+        dev = [jnp.asarray(d, jnp.float32) / 255.0 for d in data_list]
     n = dev[0].shape[0]
     rng = jax.random.PRNGKey(seed)
 
@@ -61,7 +76,7 @@ def occlusion_sweep_device(data_list: List[np.ndarray],
                     rng, k = jax.random.split(rng)
                     img = device_augment_batch(
                         data[s:e], k, lo=lo, hi=hi, fill=fill_type,
-                        use_norm=use_norm and not is_gray)
+                        use_norm=use_norm)
                     f = np.asarray(extract_fn(img))
                     if feats is None:
                         feats = np.zeros((n, f.shape[1]))

@@ -31,8 +31,9 @@ import jax.numpy as jnp
 
 
 def _blob_loss(p: jnp.ndarray, logp: jnp.ndarray, idx_blob: jnp.ndarray,
-               s: int, alpha: float, beta: float) -> jnp.ndarray:
-    """Per-blob loss using reductions only.
+               s: int, alpha: float, beta: float
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-blob (loss, has_blob-mask) using reductions only.
 
     Because the blob-mean t is constant across the blob's pixels, the KL
     deviation collapses analytically:

@@ -74,6 +74,13 @@ def sgd_update(params: PyTree, grads: PyTree, momentum: PyTree,
     """One torch-SGD step. lr_factor is the LambdaLR epoch factor."""
 
     def upd(p, g, buf, lr):
+        if lr == 0.0:
+            # frozen group (peer teacher): the reference's SGD never touches
+            # requires_grad=False params — without this, weight decay would
+            # still accumulate wd*p garbage into the teacher-sized momentum
+            # buffer (and rewrite it to HBM) every step. lr_scales leaves
+            # are static Python floats, so this is a trace-time branch.
+            return p, buf
         g = g.astype(jnp.float32) + weight_decay * p
         buf = momentum_coef * buf + g
         return p - lr_factor * lr * buf, buf
@@ -124,9 +131,7 @@ def pfc_sgd_update_rows(weight: jnp.ndarray, rows_grad: jnp.ndarray,
     rows_w = weight.at[sample_index].get(**kw)
     rows_g = rows_grad.astype(jnp.float32) + weight_decay * rows_w
     rows_m = momentum_coef * momentum.at[sample_index].get(**kw) + rows_g
-    skw = dict(unique_indices=True, indices_are_sorted=True,
-               mode="promise_in_bounds")
     weight = weight.at[sample_index].set(rows_w - lr_factor * lr * rows_m,
-                                         **skw)
-    momentum = momentum.at[sample_index].set(rows_m, **skw)
+                                         **kw)
+    momentum = momentum.at[sample_index].set(rows_m, **kw)
     return weight, momentum

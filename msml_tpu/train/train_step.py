@@ -38,7 +38,8 @@ from flax import struct
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from msml_tpu.core.mesh import DATA_AXIS
+from msml_tpu.core.mesh import (DATA_AXIS, batch_sharding,
+                                class_sharding, replicated)
 from msml_tpu.heads.partial_fc import PartialFC, init_pfc_weight
 from msml_tpu.losses import structure_consensus_loss
 from msml_tpu.train import optim
@@ -66,7 +67,7 @@ def init_train_state(model, cfg, rng, mesh: Mesh,
                            train=True)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-    repl = NamedSharding(mesh, P())
+    repl = replicated(mesh)
     params = jax.device_put(params, repl)
     batch_stats = jax.device_put(batch_stats, repl)
     momentum = jax.device_put(optim.init_momentum(params), repl)
@@ -76,7 +77,7 @@ def init_train_state(model, cfg, rng, mesh: Mesh,
         world = mesh.shape[DATA_AXIS]
         pfc_weight = init_pfc_weight(jax.random.fold_in(rng, 7),
                                      cfg.num_classes, world, cfg.dim_feature)
-        shard = NamedSharding(mesh, P(DATA_AXIS))
+        shard = class_sharding(mesh)
         pfc_weight = jax.device_put(pfc_weight, shard)
         pfc_momentum = jax.device_put(jnp.zeros_like(pfc_weight), shard)
 
@@ -286,7 +287,7 @@ def make_eval_step(model, mesh: Mesh):
     any host batch size; it is zero-padded up to a multiple of the mesh and
     the padding rows are dropped from the returned features."""
     n = mesh.shape[DATA_AXIS]
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    sharding = batch_sharding(mesh)
 
     @jax.jit
     def eval_step(params, batch_stats, img):

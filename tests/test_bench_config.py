@@ -49,3 +49,23 @@ def test_ir100_pfc_variant():
     cfg = load_variant_config("ir100_pfc")
     assert cfg.get("use_partial_fc") and float(cfg.sample_rate) == 0.1
     assert cfg.remat is False  # PERF.md sweep decision
+
+
+def test_user_config_persists_model_affecting_keys():
+    """kd_metric changes the module graph (conv2 towers exist or not), so a
+    weight folder trained with kd_metric: false must persist it — else eval
+    would rebuild a different module than the checkpoint holds."""
+    from msml_tpu.core.config import Config, config_init, user_config_dict
+    cfg = Config.from_dict({
+        "dataset": "synthetic", "fp16": True, "batch_size": 4,
+        "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
+        "fm_layers": [1, 1, 1, 1],
+        "fm_params": [3, 2, "sigmoid", "mul"],
+        "header_type": "AMArcFace", "header_params": [64.0, 0.48, 0, 0],
+        "exp_id": 1, "output_prefix": "t", "kd_metric": False,
+        "scan_unroll": 4,
+    })
+    config_init(cfg, make_output_dir=False)
+    d = user_config_dict(cfg)
+    assert d["kd_metric"] is False
+    assert d["scan_unroll"] == 4

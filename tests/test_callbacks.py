@@ -87,3 +87,17 @@ def test_throughput_logger_windowed_steps_and_tic_reset(caplog):
     # last is within ~3x of the first (the old bug decayed monotonically
     # toward zero)
     assert speeds[-1] > speeds[0] / 3
+
+
+def test_verification_prepare_finish_hooks(tmp_path):
+    """prepare_fn runs before the round, finish_fn after it (releasing the
+    host param snapshot in the multihost path, cli/train.py)."""
+    _make_bin(str(tmp_path / "lfw.bin"), n_pairs=20)
+    calls = []
+    cb = CallBackVerification(
+        100, ["lfw"], str(tmp_path),
+        lambda a: a.reshape(a.shape[0], -1)[:, ::300], batch_size=8,
+        prepare_fn=lambda: calls.append("prep"),
+        finish_fn=lambda: calls.append("fin"))
+    res = cb.ver_test(100)
+    assert calls == ["prep", "fin"] and len(res) == 1

@@ -96,3 +96,18 @@ def test_restore_missing_returns_none(tmp_path):
     state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh,
                              use_pfc=True)
     assert ckpt.restore_checkpoint(str(tmp_path / "nope"), state) is None
+
+
+def test_save_same_step_twice_is_noop(tmp_path):
+    """A --ckpt-every save landing on the same step as the epoch-end save
+    must not raise orbax StepAlreadyExistsError (cli/train.py saves both)."""
+    import jax.numpy as jnp
+
+    from msml_tpu.core.checkpoint import (latest_step, restore_checkpoint,
+                                          save_checkpoint)
+    state = {"w": jnp.arange(4.0)}
+    save_checkpoint(str(tmp_path), state, 7)
+    save_checkpoint(str(tmp_path), state, 7)   # no-op, no crash
+    assert latest_step(str(tmp_path)) == 7
+    out = restore_checkpoint(str(tmp_path), {"w": jnp.zeros(4)})
+    assert float(out["w"][3]) == 3.0

@@ -89,3 +89,18 @@ def test_pallas_augment_interpret_mode():
                                     use_norm=False, relight=True)
         np.testing.assert_allclose(np.asarray(out2).max(axis=(1, 2, 3)), 1.0,
                                    rtol=1e-5)
+
+
+def test_pil_gray_exact():
+    """occ_sweep_device.pil_gray reproduces PIL convert('L') bit-exactly on
+    integer-valued inputs — the host occlusion sweep's gray convention
+    (torchvision Grayscale), NOT the callback-path luminance/3 quirk."""
+    from PIL import Image
+
+    from msml_tpu.eval.occ_sweep_device import pil_gray
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 256, (17, 23, 3), np.uint8)
+    ref = np.asarray(Image.fromarray(a).convert("L"), np.float32) / 255.0
+    got = np.asarray(pil_gray(a.astype(np.float32)))
+    assert got.shape == (17, 23, 1)
+    np.testing.assert_array_equal(got[..., 0], ref)

@@ -173,3 +173,19 @@ def test_shard_padding_equal_batches(tiny_dataset):
     assert counts == [1] * num_shards
     # total samples across ranks = padded length (ceil(12/5)*5)
     assert sum(s.size for s in seen) == 15
+
+
+def test_shard_padding_more_shards_than_samples(tiny_dataset):
+    """Degenerate pad > len(dataset): padding must tile the order
+    cyclically (DistributedSampler repeats indices), not silently leave
+    some ranks short."""
+    root, occl = tiny_dataset
+    num_shards = 25  # 12 samples -> pad 13 > len(order)
+    sizes = []
+    for sid in range(num_shards):
+        ds = FaceByRandOccMask(root, out_size=(112, 112), use_norm=True,
+                               occluder_root=occl, batch_size=1, seed=0,
+                               num_workers=1, shard_id=sid,
+                               num_shards=num_shards)
+        sizes.append(len(list(ds.epoch(0))))
+    assert sizes == [1] * num_shards

@@ -313,3 +313,89 @@ def test_graph_checkpoint_roundtrip(tmp_path):
     (y,) = g(x)
     expect = np.einsum("nhwc,oc->nohw", x, w[:, :, 0, 0])
     np.testing.assert_allclose(y, expect, rtol=2e-5, atol=2e-5)
+
+
+def test_softmax_activation_instance_mode():
+    """mxnet SoftmaxActivation default mode='instance' normalizes over the
+    flattened non-batch elements (not the channel axis)."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 4, 4, 3).astype(np.float32)
+    nodes = [
+        {"op": "null", "name": "data", "inputs": []},
+        {"op": "SoftmaxActivation", "name": "sm", "attrs": {},
+         "inputs": [[0, 0, 0]]},
+    ]
+    g = MXGraph(_sym(nodes, [[1, 0, 0]]), {})
+    (y,) = g(x)                       # head outputs are NCHW
+    flat = x.reshape(2, -1)
+    e = np.exp(flat - flat.max(1, keepdims=True))
+    expect = (e / e.sum(1, keepdims=True)).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(y), expect.transpose(0, 3, 1, 2),
+                               rtol=2e-5, atol=2e-6)
+    assert not np.allclose(  # and it is NOT a channel softmax
+        np.asarray(y).sum(1), 1.0)
+
+
+def test_softmax_output_multi_output_and_flatten():
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 4, 4, 2).astype(np.float32)
+    for multi, axes in ((True, None), (False, None)):
+        nodes = [
+            {"op": "null", "name": "data", "inputs": []},
+            {"op": "SoftmaxOutput", "name": "so",
+             "attrs": ({"multi_output": "True"} if multi else {}),
+             "inputs": [[0, 0, 0]]},
+        ]
+        g = MXGraph(_sym(nodes, [[1, 0, 0]]), {})
+        (y,) = g(x)                   # head outputs are NCHW
+        if multi:  # per-position channel softmax
+            np.testing.assert_allclose(np.asarray(y).sum(1), 1.0,
+                                       rtol=1e-5)
+        else:      # flattened like mode='instance'
+            np.testing.assert_allclose(
+                np.asarray(y).reshape(2, -1).sum(1), 1.0, rtol=1e-5)
+
+
+def test_concat_spatial_axes():
+    """Concat dim is an NCHW axis in the symbol graph; dim=2 (H) and
+    dim=3 (W) must land on the matching NHWC axes."""
+    rng = np.random.RandomState(9)
+    a = rng.randn(1, 4, 5, 2).astype(np.float32)   # NHWC
+    for dim in (1, 2, 3):
+        nodes = [
+            {"op": "null", "name": "data", "inputs": []},
+            {"op": "relu", "name": "r", "attrs": {"act_type": "relu"},
+             "inputs": [[0, 0, 0]]},
+            {"op": "Concat", "name": "c", "attrs": {"dim": str(dim)},
+             "inputs": [[0, 0, 0], [1, 0, 0]]},
+        ]
+        nodes[1]["op"] = "Activation"
+        g = MXGraph(_sym(nodes, [[2, 0, 0]]), {})
+        (out,) = g(a)                 # head outputs are NCHW
+        an = a.transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.concatenate([an, np.maximum(an, 0)], axis=dim))
+
+
+def test_use_landmarks_heuristic_cls_bbox_only(tmp_path):
+    """A checkpoint with only cls+bbox heads (2 per stride, 6 total) must
+    get use_landmarks=False — the reference rule is heads-per-stride == 3
+    (retinaface.py:102), and 6 % 3 == 0 would misclassify it."""
+    nodes = [{"op": "null", "name": "data", "inputs": []}]
+    params = {}
+    heads = []
+    for s in (32, 16, 8):
+        for kind, ch in (("cls", 4), ("bbox", 8)):
+            name = f"{kind}_s{s}"
+            params[name + "_weight"] = np.zeros((ch, 3, 1, 1), np.float32)
+            params[name + "_bias"] = np.zeros((ch,), np.float32)
+            nodes.append({"op": "Convolution", "name": name,
+                          "attrs": {"kernel": "(1, 1)",
+                                    "num_filter": str(ch)},
+                          "inputs": [[0, 0, 0]]})
+            heads.append([len(nodes) - 1, 0, 0])
+    json.dump(_sym(nodes, heads), open(tmp_path / "nl-symbol.json", "w"))
+    save_params(str(tmp_path / "nl-0000.params"), params)
+    det = RetinaFace.from_checkpoint(str(tmp_path / "nl"))
+    assert det.use_landmarks is False

@@ -38,3 +38,14 @@ def test_flag_cache_dir(monkeypatch):
     monkeypatch.setenv("LIBTPU_INIT_ARGS", "--a=2")
     d2 = flag_cache_dir("/tmp/x")
     assert d1 != d2 and d1.startswith("/tmp/x_")
+
+
+def test_longer_flag_name_does_not_suppress(monkeypatch):
+    """A user flag whose NAME merely extends the tuned one must not
+    suppress it (presence is checked per whitespace token, not by
+    substring)."""
+    other = TUNED_FLAGS[0].split("=", 1)[0] + "_v2=true"
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", other)
+    monkeypatch.delenv("MSML_NO_TUNED_FLAGS", raising=False)
+    v = apply_tuned_flags()
+    assert other in v.split() and TUNED_FLAGS[0] in v.split()
