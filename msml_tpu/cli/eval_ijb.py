@@ -25,6 +25,35 @@ import os
 import numpy as np
 
 
+class AlignedCrops:
+    """Lazy aligned-crop source: loads + aligns per requested batch, like
+    the reference's streaming dataloader (`qeval_ijbc.py:242-301`).
+    Materialising all crops as f32 would be ~70 GB for IJB-C's 469k
+    images; this keeps only one batch resident. Supports len() and slice
+    indexing — exactly what `extract_ijb_features` consumes."""
+
+    def __init__(self, root: str, names, lmks):
+        self.root, self.names, self.lmks = root, names, lmks
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, sl):
+        import cv2
+
+        from msml_tpu.eval.ijb import align_face
+        idxs = (range(*sl.indices(len(self.names)))
+                if isinstance(sl, slice) else [sl])
+        out = np.zeros((len(idxs), 112, 112, 3), np.float32)
+        for j, i in enumerate(idxs):
+            path = os.path.join(self.root, self.names[i])
+            img = cv2.imread(path)
+            if img is None:
+                raise FileNotFoundError(f"unreadable IJB crop: {path}")
+            out[j] = align_face(img, self.lmks[i])
+        return out if isinstance(sl, slice) else out[0]
+
+
 def load_name_lmk_score(path: str):
     names, lmks, scores = [], [], []
     with open(path) as f:
@@ -45,34 +74,15 @@ def main(args):
     apply_tuned_flags()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    import cv2
 
-    from msml_tpu.core import checkpoint as ckpt
-    from msml_tpu.core.config import config_init, load_yaml
-    from msml_tpu.core.mesh import make_mesh
-    from msml_tpu.core.precision import policy_from_config
+    from msml_tpu.core.weight_folder import load_weight_folder
     from msml_tpu.data.rand_occ import RandomBlock
-    from msml_tpu.eval.ijb import (align_face, extract_ijb_features,
+    from msml_tpu.eval.ijb import (extract_ijb_features,
                                    read_template_media_list,
                                    read_template_pair_list, run_ijb_protocol)
-    from msml_tpu.nn.msml import msml_from_config
-    from msml_tpu.train.train_step import init_train_state, make_eval_step
+    from msml_tpu.train.train_step import make_eval_step
 
-    cfg = load_yaml(os.path.join(args.weight_folder, "config.yaml"))
-    cfg.out_folder = os.path.dirname(args.weight_folder.rstrip("/")) or "out"
-    config_init(cfg, make_output_dir=False)
-
-    mesh = make_mesh()
-    use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
-        cfg.get("use_partial_fc", False))
-    model = msml_from_config(cfg, policy=policy_from_config(
-        bool(cfg.get("fp16", True))), external_header=use_pfc)
-    rng = jax.random.PRNGKey(0)
-    state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
-    restored = ckpt.restore_checkpoint(args.weight_folder, state)
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint in {args.weight_folder}")
-    state = restored
+    cfg, model, state, mesh, _ = load_weight_folder(args.weight_folder)
     eval_step = make_eval_step(model, mesh)
 
     def extract_fn(img_np):
@@ -88,22 +98,22 @@ def main(args):
     names, lmks, faceness = load_name_lmk_score(
         os.path.join(meta, f"{t}_name_5pts_score.txt"))
 
-    print(f"aligning {len(names)} crops ...")
-    imgs = np.zeros((len(names), 112, 112, 3), np.float32)
-    for i, (name, lmk) in enumerate(zip(names, lmks)):
-        img = cv2.imread(os.path.join(args.ijb_root, "loose_crop", name))
-        imgs[i] = align_face(img, lmk)
+    # lazy load+align per batch (streamed like the reference dataloader);
+    # one batch resident instead of ~70 GB of f32 crops for IJB-C
+    imgs = AlignedCrops(os.path.join(args.ijb_root, "loose_crop"),
+                        names, lmks)
 
     occ = RandomBlock(args.lo, args.hi) if args.hi > 1 else None
-    repeats = 10 if args.lo > 0 else 1  # qeval_ijbc.py:536-546
+    # qeval_ijbc.py:536-546: repeats only when an occlusion range is set
+    repeats = 10 if (args.lo > 0 and args.hi > 1) else 1
     rng_np = np.random.RandomState(0)
     score = None
-    table = None
     for _ in range(repeats):
         feats = extract_ijb_features(imgs, extract_fn, args.batch_size,
                                      occ_block=occ, rng=rng_np)
-        table, s = run_ijb_protocol(
+        _, s = run_ijb_protocol(
             feats, faceness, templates, medias, p1, p2, label,
+            compute_table=False,  # computed once below on averaged scores
             use_detector_score=not args.no_detector_score)
         score = s if score is None else score + s
     score /= repeats

@@ -25,14 +25,10 @@ def main(args):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from msml_tpu.core import checkpoint as ckpt
-    from msml_tpu.core.config import config_init, load_yaml
     from msml_tpu.core.mesh import make_mesh
-    from msml_tpu.core.precision import policy_from_config
     from msml_tpu.data.bin_loader import load_bin_pil
     from msml_tpu.eval.occ_sweep import occlusion_sweep
-    from msml_tpu.nn.msml import msml_from_config
-    from msml_tpu.train.train_step import init_train_state, make_eval_step
+    from msml_tpu.train.train_step import make_eval_step
 
     np.random.seed(0)
     mesh = make_mesh()
@@ -47,19 +43,10 @@ def main(args):
     else:
         if not args.weight_folder:
             raise SystemExit("--weight_folder required for --network msml")
-        cfg = load_yaml(os.path.join(args.weight_folder, "config.yaml"))
-        cfg.out_folder = os.path.dirname(
-            args.weight_folder.rstrip("/")) or "out"
-        config_init(cfg, make_output_dir=False)
-
-        policy = policy_from_config(bool(cfg.get("fp16", True)))
-        # the restore template must match how training constructed the state
-        # (PFC-trained checkpoints carry the class-sharded weight)
-        use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
-            cfg.get("use_partial_fc", False))
-        model = msml_from_config(cfg, policy=policy, external_header=use_pfc)
-        rng = jax.random.PRNGKey(0)
-        state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
+        from msml_tpu.core.weight_folder import load_weight_folder
+        # --weight: skip orbax restore, overlay torch weights instead
+        cfg, model, state, mesh, _ = load_weight_folder(
+            args.weight_folder, mesh=mesh, restore=not args.weight)
         if args.weight:
             # evaluate a reference torch checkpoint directly (the released
             # backbone.pth next to its config.yaml — runbook path,
@@ -87,12 +74,6 @@ def main(args):
                 params=merge_into(host_p, p_in),
                 batch_stats=merge_into(jax.device_get(state.batch_stats),
                                        s_in))
-        else:
-            restored = ckpt.restore_checkpoint(args.weight_folder, state)
-            if restored is None:
-                raise FileNotFoundError(
-                    f"no checkpoint under {args.weight_folder}/ckpt")
-            state = restored
         eval_step = make_eval_step(model, mesh)
 
         def extract_fn(img_np):
@@ -135,8 +116,14 @@ def main(args):
         rng = np.random.RandomState(0)
         batch = []
         for img in imgs[:8]:
-            one = block(center_crop(img, tuple(cfg.out_size)), rng)
+            one = center_crop(img, tuple(cfg.out_size))
+            if cfg.get("is_gray", False) and one.mode != "L":
+                one = one.convert("L")  # Grayscale before the block, like
+                # the sweep protocol (qeval_mxnet.py:97-101)
+            one = block(one, rng)
             a = np.asarray(one, np.float32) / 255.0
+            if a.ndim == 2:
+                a = a[..., None]
             batch.append((a - 0.5) / 0.5 if cfg.get("use_norm", True) else a)
         x = np.stack(batch)
         (feature, final_seg), inters = model.apply(

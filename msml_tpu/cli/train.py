@@ -92,7 +92,10 @@ def main(args):
     config_init(cfg)
     # self-describing weight folder (train.py:71-72 / qeval_mxnet.py:515-517)
     if args.config and os.path.exists(args.config):
-        shutil.copy(args.config, os.path.join(cfg.output, "config.yaml"))
+        dst = os.path.join(cfg.output, "config.yaml")
+        # resuming straight from the copied config: src == dst, skip
+        if not (os.path.exists(dst) and os.path.samefile(args.config, dst)):
+            shutil.copy(args.config, dst)
     else:
         from msml_tpu.core.config import save_yaml, user_config_dict
         save_yaml(user_config_dict(cfg),

@@ -72,13 +72,14 @@ class FaceByRandOccMask:
                  occluder_root: Optional[str] = None, occ: bool = True,
                  batch_size: int = 0, seed: int = 0,
                  num_workers: int = 16, shard_id: int = 0,
-                 num_shards: int = 1):
+                 num_shards: int = 1, gauss_light: bool = True):
         self.root_dir = root_dir
         self.out_size = tuple(out_size)
         self.is_gray = is_gray
         self.use_norm = use_norm
         self.use_ori = use_ori
         self.use_occ = occ
+        self.gauss_light = gauss_light
         self.batch_size = batch_size  # per-process batch
         self.seed = seed
         self.num_workers = num_workers
@@ -148,25 +149,37 @@ class FaceByRandOccMask:
 
         mask_flag = (self.use_occ and self.mask_out_rec is not None
                      and r.randint(1, 11) >= 9)  # P=2/10
-        ori, _ = self._occluded_face_and_mask(img_bytes, idx, False, r)
+        # ori (the KD reference image, randomly occluded half the time —
+        # faithful to load_dataset.py:114) is only materialised when a peer
+        # teacher consumes it: it costs a second jpeg decode + occlusion
+        # transform per sample on the host hot path, and epoch() drops it
+        # from the batch when use_ori is off.
+        ori = None
+        if self.use_ori:
+            ori, _ = self._occluded_face_and_mask(img_bytes, idx, False, r)
         img, msk = self._occluded_face_and_mask(img_bytes, idx, mask_flag, r)
 
         img = self._resize(img)
         msk = self._resize(msk)
-        ori = self._resize(ori)
+        if ori is not None:
+            ori = self._resize(ori)
 
         if r.randint(1, 11) >= 5:  # P(flip) ~ 0.5+ (load_dataset.py:123)
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
             msk = msk.transpose(Image.FLIP_LEFT_RIGHT)
-            ori = ori.transpose(Image.FLIP_LEFT_RIGHT)
+            if ori is not None:
+                ori = ori.transpose(Image.FLIP_LEFT_RIGHT)
 
-        img_t = self._add_gauss_to_face(img, r)        # HWC [0,1] f32
-        ori_t = self._to_float(ori)
+        if self.gauss_light:
+            img_t = self._add_gauss_to_face(img, r)    # HWC [0,1] f32
+        else:  # plain-reader parity (MXFaceDataset, load_dataset.py:344-396)
+            img_t = self._to_float(img)
         img_t, msk_t = self._add_gauss_to_mask(img_t, msk, mask_flag, r)
 
+        ori_t = self._to_float(ori) if ori is not None else img_t
         if self.use_norm:
             img_t = (img_t - 0.5) / 0.5
-            ori_t = (ori_t - 0.5) / 0.5
+            ori_t = (ori_t - 0.5) / 0.5 if ori is not None else img_t
         return (img_t.astype(np.float32), msk_t.astype(np.int32),
                 ori_t.astype(np.float32), np.int32(label))
 
@@ -344,12 +357,14 @@ class FaceByRandOccMask:
 
 class MXFaceDataset(FaceByRandOccMask):
     """Plain rec reader parity (`datasets/load_dataset.py:344-396`): resize /
-    flip / normalize, no occlusion augmentation. Yields the same 4-tuple
-    contract with an all-clean mask and ori == the unflipped-augmented image
-    (the train step simply ignores what it doesn't use)."""
+    flip / normalize ONLY — no occlusion and no Gaussian relighting (the
+    reference's plain class applies neither). Yields the same 4-tuple
+    contract with an all-clean mask; ori mirrors img (flipped together,
+    like the reference flips everything it returns)."""
 
     def __init__(self, root_dir: str, **kw):
         kw.setdefault("use_norm", True)
+        kw.setdefault("gauss_light", False)
         super().__init__(root_dir, occ=False, **kw)
 
 

@@ -67,6 +67,11 @@ class RandomBlock:
             occ = Image.fromarray(np.full((bw, bw), 255, dtype=np.uint8))
         else:  # gauss
             if img.mode == "L":
+                # Faithful reference quirk (rand_occ.py:57-58): the gray
+                # branch skips the uint8 cast, so the block is an 'F'-mode
+                # float image and paste() CLIPS to [0,255] — unlike the RGB
+                # branch's uint8 wraparound. parity_occ proves our pixels
+                # bit-identical to the reference's for this case too.
                 occ = Image.fromarray(r.randn(bw, bw) * 255)
             else:
                 occ = Image.fromarray(
@@ -232,7 +237,10 @@ class _PastedOccluder:
                 ratio = max(fw / occ_width, fh / occ_height)
                 obj = obj.resize((int(fw / ratio), int(fh / ratio)))
                 # torchvision CenterCrop((w, h)) semantics of the reference
-                # (rand_occ.py:550-552): crop/pad to (occ_width, occ_height)
+                # (rand_occ.py:550-552): crop/pad to (occ_width, occ_height).
+                # NOTE the reference swaps w/h here (CenterCrop takes (h, w))
+                # and would crash for non-square occ sizes exactly like this
+                # code does; only the square 55x55 default is ever used.
                 canvas = Image.new("RGBA", (occ_height, occ_width))
                 left = (occ_height - obj.size[0]) // 2
                 top = (occ_width - obj.size[1]) // 2

@@ -15,12 +15,14 @@ def synthetic_batch(batch_size: int, size: int = 112, channels: int = 3,
     rng = np.random.RandomState(seed)
     img = rng.randn(batch_size, size, size, channels).astype(np.float32)
     ori = rng.randn(batch_size, size, size, channels).astype(np.float32)
-    msk = np.zeros((batch_size, size, size), np.int32)
+    # mask polarity matches the real pipeline: 1 = clean, 0 = occluded
+    # (reference masks are 255 clean / 0 occluded, rand_occ.py:598-601)
+    msk = np.ones((batch_size, size, size), np.int32)
     for i in range(batch_size):
         if rng.rand() < 0.8:  # most samples occluded, like training
             h0, w0 = rng.randint(0, size // 2, 2)
             hh, ww = rng.randint(size // 8, size // 2, 2)
-            msk[i, h0:h0 + hh, w0:w0 + ww] = 1
+            msk[i, h0:h0 + hh, w0:w0 + ww] = 0
     label = rng.randint(0, num_classes, batch_size).astype(np.int32)
     return {"img": img, "msk": msk, "ori": ori, "label": label}
 

@@ -213,9 +213,13 @@ def save_roc_artifacts(out_dir: str, target: str, label: np.ndarray,
 def run_ijb_protocol(img_feats: np.ndarray, faceness: Optional[np.ndarray],
                      templates: np.ndarray, medias: np.ndarray,
                      p1: np.ndarray, p2: np.ndarray, label: np.ndarray,
-                     **prepare_kw):
-    """Full pipeline from per-image features to the TPR@FPR table."""
+                     compute_table: bool = True, **prepare_kw):
+    """Full pipeline from per-image features to the TPR@FPR table.
+
+    compute_table=False skips the ROC sweep (callers that average scores
+    over occlusion repeats only need it once, on the averaged scores)."""
     feats = prepare_image_feats(img_feats, faceness, **prepare_kw)
     tfeats, uniq = image2template_feature(feats, templates, medias)
     score = verification_scores(tfeats, uniq, p1, p2)
-    return tpr_at_fpr_table(label, score), score
+    table = tpr_at_fpr_table(label, score) if compute_table else None
+    return table, score

@@ -53,25 +53,9 @@ def load_npz(path: str):
 def main(args):
     import jax
     jax.config.update("jax_platforms", "cpu")
-    from msml_tpu.core import checkpoint as ckpt
-    from msml_tpu.core.config import config_init, load_yaml
-    from msml_tpu.core.mesh import make_mesh
-    from msml_tpu.core.precision import policy_from_config
-    from msml_tpu.nn.msml import msml_from_config
-    from msml_tpu.train.train_step import init_train_state
+    from msml_tpu.core.weight_folder import load_weight_folder
 
-    cfg = load_yaml(os.path.join(args.weight_folder, "config.yaml"))
-    cfg.out_folder = os.path.dirname(args.weight_folder.rstrip("/")) or "out"
-    config_init(cfg, make_output_dir=False)
-    use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
-        cfg.get("use_partial_fc", False))
-    model = msml_from_config(cfg, policy=policy_from_config(False),
-                             external_header=use_pfc)
-    state = init_train_state(model, cfg, jax.random.PRNGKey(0), make_mesh(),
-                             use_pfc=use_pfc)
-    restored = ckpt.restore_checkpoint(args.weight_folder, state)
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint in {args.weight_folder}")
+    _, _, restored, _, _ = load_weight_folder(args.weight_folder, fp16=False)
     params = jax.device_get(restored.params)
     stats = jax.device_get(restored.batch_stats)
     frb_p, frb_s = extract_frb(params, stats)

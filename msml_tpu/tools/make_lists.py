@@ -77,6 +77,12 @@ def write_lists(root: str, out_dir: str, val_every: int = 10,
     # verification pairs: alternating-lines format (get_filelist_pku)
     with open(os.path.join(out_dir, "ver_pairs.txt"), "w") as fver:
         multi = [n for n in names if len(ids[n]) >= 2]
+        if n_pairs and not multi:
+            raise ValueError("cannot generate positive pairs: no identity "
+                             "has >= 2 images under this root")
+        if n_pairs and len(names) < 2:
+            raise ValueError("cannot generate negative pairs: fewer than 2 "
+                             "identities under this root")
         for _ in range(n_pairs // 2):
             name = rng.choice(multi)
             a, b = rng.sample(ids[name], 2)
@@ -102,6 +108,12 @@ def write_lists(root: str, out_dir: str, val_every: int = 10,
     dnames = sorted(raw_dirs)
     with open(os.path.join(out_dir, "pairs.txt"), "w") as fp:
         multi = [d for d in dnames if len(raw_dirs[d]) >= 2]
+        if n_pairs and not multi:
+            raise ValueError("cannot generate positive pairs: no directory "
+                             "has >= 2 images under this root")
+        if n_pairs and len(dnames) < 2:
+            raise ValueError("cannot generate negative pairs: fewer than 2 "
+                             "directories under this root")
         for _ in range(n_pairs // 2):
             d = rng.choice(multi)
             i, j = rng.sample(range(len(raw_dirs[d])), 2)

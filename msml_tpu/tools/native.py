@@ -133,7 +133,10 @@ def _nms_np(dets: np.ndarray, thresh: float) -> np.ndarray:
     x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], \
         dets[:, 4]
     areas = (x2 - x1 + 1) * (y2 - y1 + 1)
-    order = scores.argsort(kind="stable")[::-1]
+    # descending, lowest-index-first on ties — matches the C++ path's
+    # stable_sort so kept boxes don't depend on whether the .so is built
+    # (py_cpu_nms's argsort()[::-1] leaves tie order unspecified)
+    order = np.argsort(-scores, kind="stable")
     keep = []
     while order.size > 0:
         i = order[0]

@@ -189,3 +189,44 @@ def test_shard_padding_more_shards_than_samples(tiny_dataset):
                                num_shards=num_shards)
         sizes.append(len(list(ds.epoch(0))))
     assert sizes == [1] * num_shards
+
+
+def test_mxfacedataset_plain_reader(tiny_dataset):
+    """MXFaceDataset = reference load_dataset.py:344-396: resize/flip/
+    normalize ONLY. No Gaussian relighting — every pixel must be an exact
+    (k/255 - 0.5)/0.5 grid value (relighting rescales + /max-renormalizes,
+    which destroys the grid)."""
+    from msml_tpu.data.face_dataset import MXFaceDataset
+    root, occl = tiny_dataset
+    ds = MXFaceDataset(root, out_size=(112, 112), occluder_root=occl,
+                       num_workers=1)
+    r = np.random.RandomState(3)
+    img, msk, ori, label = ds.__getitem__(0, r)
+    levels = (img * 0.5 + 0.5) * 255.0
+    np.testing.assert_allclose(levels, np.round(levels), atol=1e-3)
+    assert msk.min() == 1          # all-clean mask
+    np.testing.assert_array_equal(ori, img)
+
+
+def test_use_ori_false_skips_ori_and_epoch_drops_it(tiny_dataset):
+    root, occl = tiny_dataset
+    ds = FaceByRandOccMask(root, out_size=(112, 112), use_norm=True,
+                           occluder_root=occl, batch_size=4, seed=0,
+                           num_workers=1, use_ori=False)
+    r = np.random.RandomState(5)
+    img, msk, ori, label = ds.__getitem__(0, r)
+    np.testing.assert_array_equal(ori, img)     # placeholder alias
+    b = next(iter(ds.epoch(0)))
+    assert "ori" not in b and b["img"].shape == (4, 112, 112, 3)
+
+
+def test_synthetic_mask_polarity():
+    """Synthetic batches must use the real pipeline's polarity: 1 = clean,
+    0 = occluded (a mostly-ones mask with occluded rectangles)."""
+    from msml_tpu.data.synthetic import synthetic_batch
+    b = synthetic_batch(16, size=32, seed=0)
+    msk = b["msk"]
+    assert set(np.unique(msk)) <= {0, 1}
+    # clean pixels dominate: occlusions are rectangles <= 1/4 of the image
+    assert (msk == 1).mean() > 0.5
+    assert (msk == 0).any()                     # some occlusion exists

@@ -153,3 +153,52 @@ def test_evaluate_folder_end_to_end(folder_dataset):
                                   batch_size=4, dim_feature=dim)
     assert acc == 1.0  # same pairs are near-identical images
     assert tarfar.shape == (3,)
+
+
+def test_aligned_crops_lazy_slicing(tmp_path):
+    """cli.eval_ijb streams crops per batch (one batch resident — the
+    reference's dataloader behavior) instead of materialising all of
+    IJB-C as f32; slices align on demand and missing files name the
+    offender."""
+    import cv2
+    import pytest
+
+    from msml_tpu.cli.eval_ijb import AlignedCrops
+    names, lmks = [], []
+    rng = np.random.RandomState(0)
+    base = np.float32([[38.3, 51.7], [73.5, 51.5], [56.0, 71.7],
+                       [41.5, 92.4], [70.7, 92.2]])
+    for i in range(5):
+        name = f"im{i}.png"
+        cv2.imwrite(str(tmp_path / name),
+                    rng.randint(0, 255, (112, 112, 3), np.uint8))
+        names.append(name)
+        lmks.append(base + rng.randn(5, 2).astype(np.float32))
+    crops = AlignedCrops(str(tmp_path), names, lmks)
+    assert len(crops) == 5
+    batch = crops[1:4]
+    assert batch.shape == (3, 112, 112, 3) and batch.dtype == np.float32
+    np.testing.assert_array_equal(crops[2], batch[1])  # single-index form
+    crops.names[0] = "missing.png"
+    with pytest.raises(FileNotFoundError, match="missing.png"):
+        crops[0:2]
+
+
+def test_run_ijb_protocol_skip_table():
+    """compute_table=False skips the ROC sweep but returns identical
+    scores (the repeat loop only tables the averaged scores)."""
+    from msml_tpu.eval.ijb import run_ijb_protocol
+    rng = np.random.RandomState(1)
+    n = 24
+    feats = rng.randn(n, 16).astype(np.float32)
+    templates = np.repeat(np.arange(8), 3)
+    medias = np.tile(np.arange(3), 8)
+    p1 = np.arange(4)
+    p2 = np.arange(4, 8)
+    label = np.array([1, 0, 1, 0])
+    t1, s1 = run_ijb_protocol(feats, None, templates, medias, p1, p2, label,
+                              use_detector_score=False)
+    t0, s0 = run_ijb_protocol(feats, None, templates, medias, p1, p2, label,
+                              compute_table=False, use_detector_score=False)
+    assert t0 is None and t1 is not None
+    np.testing.assert_array_equal(s0, s1)
