@@ -52,9 +52,10 @@ SCAN_STEPS = 16    # steps per dispatched window (lax.scan inside one jit);
                    # Measured (PERF.md r3): 8 -> 3086.8, 16 -> 3097.8
                    # img/s/chip; override with MSML_SCAN_STEPS.
 WARMUP_WINDOWS = 3  # covers initial compile + donation-aliasing recompile
-MEASURE_WINDOWS = 16  # 128 steps per fence: the final device-read costs one
-                      # ~35 ms tunnel RTT; spreading it over more steps keeps
-                      # the measurement close to the true device rate
+MEASURE_WINDOWS = 16  # SCAN_STEPS*16 = 256 steps per fence: the final
+                      # device-read costs one ~35 ms tunnel RTT; spreading it
+                      # over more steps keeps the measurement close to the
+                      # true device rate
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -84,7 +85,7 @@ def load_variant_config(variant: str):
     for k, v in overrides.items():
         cfg[k] = v
     cfg.out_folder = "/tmp/msml_bench_out"
-    config_init(cfg)
+    config_init(cfg, make_output_dir=False)
     return cfg
 
 
@@ -167,5 +168,12 @@ def main(variant: str = "flagship"):
 
 if __name__ == "__main__":
     import sys
-    main(sys.argv[sys.argv.index("--variant") + 1]
-         if "--variant" in sys.argv else "flagship")
+    variant = "flagship"
+    if "--variant" in sys.argv:
+        i = sys.argv.index("--variant") + 1
+        if i >= len(sys.argv):
+            raise SystemExit(f"--variant needs a value: {sorted(VARIANTS)}")
+        variant = sys.argv[i]
+    if variant not in VARIANTS:
+        raise SystemExit(f"unknown variant {variant!r}: {sorted(VARIANTS)}")
+    main(variant)

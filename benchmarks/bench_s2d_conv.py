@@ -28,9 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/msml_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from msml_tpu.core.tpu_flags import apply_tuned_flags, flag_cache_dir  # noqa: E402
+
+apply_tuned_flags()  # measure under the flags that ship (PERF.md flag sweep)
+jax.config.update("jax_compilation_cache_dir",
+                  flag_cache_dir("/tmp/msml_jax_cache_tpu"))
 
 B = 128
 HW = 112

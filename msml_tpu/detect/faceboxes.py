@@ -193,7 +193,14 @@ class FaceBoxesDetector:
         self._net = jax.jit(faceboxes_apply)
 
     def detect(self, image_bgr: np.ndarray, thresh: float = 0.6,
-               im_scale: Optional[float] = None):
+               im_scale: Optional[float] = None, bucket: int = 128):
+        """bucket > 0 pads the resized image up to a multiple of `bucket`
+        so heterogeneous resolutions share jit executables (one compile per
+        bucket instead of per exact shape — compiles cost seconds through
+        the remote-TPU tunnel). Black padding scores below any threshold;
+        deep-layer borders can differ marginally from the exact unpadded
+        geometry, so pass bucket=0 for bit-parity with the vendored
+        pipeline."""
         import cv2
         from msml_tpu.tools.native import nms
 
@@ -203,15 +210,21 @@ class FaceBoxesDetector:
                 if min(height, width) > 600 else 1.0
         img = cv2.resize(image_bgr, None, fx=im_scale, fy=im_scale,
                          interpolation=cv2.INTER_LINEAR)
+        # pad to `bucket`-px buckets (128 = the coarsest prior stride); box
+        # coordinates are identical in padded and original pixel space
         h, w = img.shape[:2]
+        b = max(int(bucket), 1)
+        hp, wp = -(-h // b) * b, -(-w // b) * b
+        if (hp, wp) != (h, w):
+            img = np.pad(img, ((0, hp - h), (0, wp - w), (0, 0)))
         x = img.astype(np.int32) - np.array([104, 117, 123], np.int32)
         loc, conf = self._net(self.params,
                               jnp.asarray(x[None], jnp.float32))
         loc = np.asarray(loc)[0]
         scores = np.asarray(conf)[0][:, 1]
-        priors = prior_boxes((h, w))
+        priors = prior_boxes((hp, wp))
         boxes = decode(loc, priors, CFG["variance"])
-        boxes *= np.array([w, h, w, h], np.float32)
+        boxes *= np.array([wp, hp, wp, hp], np.float32)
 
         inds = np.where(scores > thresh)[0]
         boxes, scores = boxes[inds], scores[inds]
@@ -220,9 +233,19 @@ class FaceBoxesDetector:
         dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
         keep = nms(dets, 0.3)
         dets = dets[keep][:750]
-        out = []
-        for x1, y1, x2, y2, s in dets:
-            out.append(["face", float(s), int(x1 / im_scale),
-                        int(y1 / im_scale), int((x2 - x1) / im_scale),
-                        int((y2 - y1) / im_scale)])
-        return out, im_scale
+        return map_detections(dets, im_scale), im_scale
+
+
+def map_detections(dets: np.ndarray, im_scale: float) -> list:
+    """Reference integer mapping (faceboxes_detector.py:100-120): truncate
+    corners FIRST, width/height from the truncated corners, then truncate
+    again after the im_scale division — both truncations shift boxes by a
+    pixel vs dividing the raw floats once."""
+    out = []
+    for x1, y1, x2, y2, s in dets:
+        xmin, ymin = int(x1), int(y1)
+        width, height = int(x2) - xmin, int(y2) - ymin
+        out.append(["face", float(s), int(xmin / im_scale),
+                    int(ymin / im_scale), int(width / im_scale),
+                    int(height / im_scale)])
+    return out

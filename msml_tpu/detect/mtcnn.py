@@ -223,7 +223,10 @@ def _crop_boxes(bboxes: np.ndarray, img: Image.Image, size: int
     arr = np.asarray(img, np.uint8)
     height, width = arr.shape[0], arr.shape[1]
     n = len(bboxes)
-    out = np.zeros((n, size, size, 3), np.float32)
+    # degenerate boxes (w/h <= 0) stay as preprocessed-BLACK crops, like
+    # the reference which preprocesses every (blank) crop — raw 0.0 rows
+    # would read as mid-gray (pixel 127.5) and could survive RNet/ONet
+    out = np.full((n, size, size, 3), (0.0 - 127.5) * 0.0078125, np.float32)
     for i in range(n):
         x1, y1, x2, y2 = [int(v) for v in bboxes[i, :4]]
         w, h = x2 - x1 + 1, y2 - y1 + 1

@@ -184,3 +184,16 @@ def test_detector_end_to_end_mechanics(tmp_path):
     for row in out:
         assert row[0] == "face" and len(row) == 6
         assert 0 <= row[1] <= 1
+
+
+def test_map_detections_reference_truncation():
+    """faceboxes_detector.py:100-120: int-truncate corners first, derive
+    w/h from truncated corners, truncate again after /im_scale."""
+    from msml_tpu.detect.faceboxes import map_detections
+    dets = np.array([[10.6, 5.9, 20.4, 15.2, 0.9]], np.float32)
+    (out,) = map_detections(dets, 1.0)
+    # naive int(20.4-10.6) would give width 9; the reference gives 10
+    assert out[2:] == [10, 5, 10, 10]
+    (out,) = map_detections(dets, 600.0 / 650.0)
+    assert out[2:] == [int(10 / (600 / 650)), int(5 / (600 / 650)),
+                       int(10 / (600 / 650)), int(10 / (600 / 650))]

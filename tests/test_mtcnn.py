@@ -195,3 +195,20 @@ def test_cascade_end_to_end_with_reference_weights():
     assert (pts[:, 1] > y1 - 10).all() and (pts[:, 1] < y2 + 10).all()
     aligned = det.align(pil, min_face_size=40.0, thresholds=(0.6, 0.6, 0.6))
     assert aligned is not None and aligned.size == (112, 112)
+
+
+def test_crop_boxes_degenerate_is_black():
+    """Degenerate boxes (w/h <= 0) must be preprocessed-BLACK crops like
+    the reference (which preprocesses every blank crop) — raw zeros read
+    as mid-gray and can survive RNet/ONet as bogus detections."""
+    from PIL import Image
+
+    from msml_tpu.detect.mtcnn import _crop_boxes
+    img = Image.fromarray(np.full((40, 40, 3), 200, np.uint8))
+    boxes = np.array([[30.0, 30.0, 10.0, 10.0, 0.9],    # x2 < x1: degenerate
+                      [0.0, 0.0, 39.0, 39.0, 0.9]], np.float32)
+    out = _crop_boxes(boxes, img, 24)
+    black = (0.0 - 127.5) * 0.0078125
+    np.testing.assert_allclose(out[0], black)
+    np.testing.assert_allclose(out[1], (200.0 - 127.5) * 0.0078125,
+                               atol=1e-3)
