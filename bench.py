@@ -140,14 +140,15 @@ def main(variant: str = "flagship"):
     # remote execution finishes; an explicit device_get is the only reliable
     # fence (the step chain serializes through the donated state, so fencing
     # the final metrics fences the whole chain).
+    from msml_tpu.core.profiling import fence
     for _ in range(WARMUP_WINDOWS):
         state, metrics = step(state, batch, 1.0, rng)
-    float(metrics["total_loss"])
+    fence(metrics["total_loss"])
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_WINDOWS):
         state, metrics = step(state, batch, 1.0, rng)
-    float(metrics["total_loss"])
+    fence(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
     ips = MEASURE_WINDOWS * scan_steps * global_batch / dt

@@ -123,11 +123,12 @@ def main():
         state, metrics = step(state, batch, 1.0, rng)
     float(metrics["total_loss"])
     trace_dir = f"/tmp/msml_prof_{variant}"
-    jax.profiler.start_trace(trace_dir)
-    for _ in range(2):  # 2 windows x SCAN_STEPS steps
-        state, metrics = step(state, batch, 1.0, rng)
-    float(metrics["total_loss"])
-    jax.profiler.stop_trace()
+    from msml_tpu.core.profiling import fence
+    from msml_tpu.core.profiling import trace as xprof_trace
+    with xprof_trace(trace_dir):
+        for _ in range(2):  # 2 windows x SCAN_STEPS steps
+            state, metrics = step(state, batch, 1.0, rng)
+        fence(metrics["total_loss"])
     time.sleep(1)
 
     # ---- aggregate framework_op_stats

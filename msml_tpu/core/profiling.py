@@ -31,17 +31,31 @@ def trace(log_dir: str = "/tmp/msml_trace"):
 
 
 def fence(x) -> float:
-    """Reliable device fence: returns a scalar pulled from `x`."""
-    leaf = jax.tree.leaves(x)[0]
-    return float(jnp.ravel(leaf)[0])
+    """Reliable device fence: returns a scalar pulled from `x`.
+
+    Falls back to block_until_ready when there is nothing to pull (empty
+    pytree / None output) or the leaf is not fully addressable from this
+    process (multihost global arrays)."""
+    leaves = jax.tree.leaves(x)
+    if not leaves:
+        jax.block_until_ready(x)
+        return 0.0
+    leaf = leaves[0]
+    try:
+        return float(jnp.ravel(leaf)[0])
+    except Exception:
+        jax.block_until_ready(leaf)
+        return 0.0
 
 
 def step_timer(fn: Callable, *args, iters: int = 10, warmup: int = 3):
     """Time fn(*args) with a device_get fence; returns seconds/iter."""
+    iters = max(int(iters), 1)
     out = None
-    for _ in range(warmup):
+    for _ in range(max(int(warmup), 0)):
         out = fn(*args)
-    fence(out)
+    if warmup:
+        fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)

@@ -32,16 +32,25 @@ def _stack_windows(it: Iterator, n: int) -> Iterator:
     import logging
 
     import numpy as np
-    buf = []
-    for b in it:
-        buf.append(b)
-        if len(buf) == n:
-            yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
-            buf = []
-    if buf:
-        logging.getLogger("msml_tpu").info(
-            "dropping trailing partial scan window (%d of %d batches)",
-            len(buf), n)
+    try:
+        buf = []
+        for b in it:
+            buf.append(b)
+            if len(buf) == n:
+                yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+                buf = []
+        if buf:
+            logging.getLogger("msml_tpu").info(
+                "dropping trailing partial scan window (%d of %d batches)",
+                len(buf), n)
+    finally:
+        # propagate close() through the wrapper so abandoning the
+        # prefetcher still releases the dataset's worker pool
+        if hasattr(it, "close"):
+            try:
+                it.close()
+            except Exception:
+                pass
 
 
 def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2,

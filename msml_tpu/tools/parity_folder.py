@@ -33,17 +33,14 @@ import sys
 
 
 def import_ref_qeval_folder(ref_repo: str):
-    from msml_tpu.tools.parity_occ import install_stubs, patch_cuda_noop
+    from msml_tpu.tools.parity_occ import (install_stubs, patch_cuda_noop,
+                                           restore_numpy_aliases)
 
     install_stubs(ref_repo)
     if ref_repo not in sys.path:
         sys.path.insert(0, ref_repo)
     patch_cuda_noop()
-    import numpy as np
-    for alias, builtin in (("int", int), ("float", float), ("bool", bool),
-                           ("object", object)):
-        if not hasattr(np, alias):
-            setattr(np, alias, builtin)
+    restore_numpy_aliases()
     spec = importlib.util.spec_from_file_location(
         "ref_qeval_folder",
         os.path.join(ref_repo, "eval", "qeval_folder.py"))

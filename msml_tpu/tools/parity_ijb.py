@@ -51,10 +51,9 @@ def load_ref_functions(ref_repo: str, names):
     import pandas as pd
     import sklearn
     import sklearn.preprocessing
-    # the reference targets numpy 1.x; restore the removed builtin aliases
-    for alias, builtin in (("int", int), ("float", float), ("bool", bool)):
-        if not hasattr(np, alias):
-            setattr(np, alias, builtin)
+
+    from msml_tpu.tools.parity_occ import restore_numpy_aliases
+    restore_numpy_aliases()
     ns = {"np": np, "pd": pd, "sklearn": sklearn, "os": os}
     exec(code, ns)
     return ns

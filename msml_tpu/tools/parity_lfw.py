@@ -59,7 +59,8 @@ def _load_ref_verification(ref_repo: str):
 def _build_ref_model(ref_repo: str, num_classes: int):
     """Instantiate the reference's own MSML (arc18_msml spec,
     reference config.yaml backbone fields)."""
-    sys.path.insert(0, ref_repo)
+    if ref_repo not in sys.path:
+        sys.path.insert(0, ref_repo)
     import backbones  # the reference package, executed in place
 
     model = backbones.MSML(

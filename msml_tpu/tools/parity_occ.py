@@ -229,19 +229,24 @@ def patch_cuda_noop() -> None:
     torch.nn.Module.cuda = lambda self, *a, **k: self
 
 
+def restore_numpy_aliases():
+    """The reference targets numpy 1.x; restore the removed builtin
+    aliases it uses (np.int etc.) — same values they had in 1.x. Shared
+    by all the run-reference-in-place parity tools."""
+    import numpy as np
+    for alias, builtin in (("int", int), ("float", float), ("bool", bool),
+                           ("object", object), ("str", str)):
+        if not hasattr(np, alias):
+            setattr(np, alias, builtin)
+
+
 def import_ref_qeval(ref_repo: str):
     """Import eval/qeval_mxnet.py executed in place."""
     install_stubs(ref_repo)
     if ref_repo not in sys.path:
         sys.path.insert(0, ref_repo)
     patch_cuda_noop()
-    # the reference targets numpy 1.x; restore the removed builtin aliases
-    # it uses (np.int etc.) — same values they had in 1.x
-    import numpy as np
-    for alias, builtin in (("int", int), ("float", float), ("bool", bool),
-                           ("object", object)):
-        if not hasattr(np, alias):
-            setattr(np, alias, builtin)
+    restore_numpy_aliases()
     spec = importlib.util.spec_from_file_location(
         "ref_qeval_mxnet", os.path.join(ref_repo, "eval", "qeval_mxnet.py"))
     mod = importlib.util.module_from_spec(spec)
@@ -285,6 +290,18 @@ def build_ref_cfg(ref_repo: str, workdir: str, frb_type: str,
 
 # ------------------------------------------------------- reference side
 
+_REF_VER_CACHE: dict = {}
+
+
+def _ref_verification(ref_repo: str):
+    """Load the reference eval/verification.py once per repo (each load
+    reads + execs the module; main() runs one case per protocol cell)."""
+    if ref_repo not in _REF_VER_CACHE:
+        from msml_tpu.tools.parity_lfw import _load_ref_verification
+        _REF_VER_CACHE[ref_repo] = _load_ref_verification(ref_repo)
+    return _REF_VER_CACHE[ref_repo]
+
+
 def run_reference_case(qm, ref_cfg, weight_folder: str, imgs, issame,
                        lo: int, hi: int, fill: str, protocol: str,
                        seed: int, batch_size: int):
@@ -295,9 +312,7 @@ def run_reference_case(qm, ref_cfg, weight_folder: str, imgs, issame,
     import torch
     from torchvision import transforms
 
-    from msml_tpu.tools.parity_lfw import _load_ref_verification
-
-    ref_ver = _load_ref_verification(os.path.dirname(
+    ref_ver = _ref_verification(os.path.dirname(
         os.path.dirname(qm.__file__)) if hasattr(qm, "__file__")
         else "/root/reference")
 

@@ -303,3 +303,25 @@ def test_colour_transfer_occluder_wrapper():
     assert out.dtype == np.uint8 and out.shape == occ.shape
     assert abs(float(out.mean()) - 170) < 40   # moved toward the face tone
     assert float(out.mean()) > occ.mean() + 60
+
+
+def test_stack_windows_propagates_close():
+    """Abandoning the prefetcher must release the dataset's resources even
+    through the scan-window wrapper: closing _stack_windows has to close
+    the wrapped epoch generator (whose finally shuts the worker pool)."""
+    import numpy as np
+
+    from msml_tpu.data.pipeline import _stack_windows
+    closed = []
+
+    def gen():
+        try:
+            for i in range(10):
+                yield {"x": np.full(2, i)}
+        finally:
+            closed.append(True)
+
+    w = _stack_windows(gen(), 2)
+    next(w)
+    w.close()
+    assert closed == [True]
