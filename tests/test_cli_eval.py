@@ -109,3 +109,30 @@ def test_cli_eval_ijb_end_to_end(weight_folder, tmp_path):
     assert table and all(0.0 <= v <= 1.0 for v in table.values())
     saved = json.load(open(out_json))
     assert len(saved) == len(table)
+
+
+@pytest.mark.slow
+def test_cli_embed(weight_folder, tmp_path):
+    """msml-embed: weight folder + aligned image folder -> l2-normalized
+    flip-sum embeddings + names manifest."""
+    from PIL import Image
+
+    from msml_tpu.cli import embed
+    src = tmp_path / "faces"
+    (src / "idA").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        Image.fromarray(rng.randint(0, 255, (112, 112, 3), np.uint8)).save(
+            src / "idA" / f"f{i}.png")
+    out = str(tmp_path / "feats.npy")
+    feats, names = embed.main(embed.parse_args(
+        ["--weight_folder", weight_folder, "--src", str(src),
+         "--out", out, "--batch-size", "3"]))
+    assert feats.shape == (5, 512) and len(names) == 5
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0,
+                               rtol=1e-5)
+    assert names == sorted(names)
+    saved = np.load(out)
+    np.testing.assert_array_equal(saved, feats)
+    manifest = open(out + ".names.txt").read().split()
+    assert manifest == names
