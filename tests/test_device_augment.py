@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from msml_tpu.kernels.augment import (device_augment_batch,
                                       device_gauss_light,
@@ -104,3 +105,62 @@ def test_pil_gray_exact():
     got = np.asarray(pil_gray(a.astype(np.float32)))
     assert got.shape == (17, 23, 1)
     np.testing.assert_array_equal(got[..., 0], ref)
+
+
+@pytest.mark.parametrize("is_gray", [False, True])
+def test_device_sweep_matches_host_no_occ(tmp_path, is_gray):
+    """With no occlusion there is no randomness, so the host sweep
+    (eval/occ_sweep) and the on-device sweep (eval/occ_sweep_device) must
+    produce IDENTICAL flip-sum features and accuracy — this pins the
+    gray-conversion (PIL 'L' before the block) and normalization
+    conventions shared by the two paths."""
+    import pickle
+
+    from msml_tpu.data.bin_loader import load_bin, load_bin_pil
+    from msml_tpu.data.recordio import imencode
+    from msml_tpu.eval.occ_sweep import occlusion_sweep
+    from msml_tpu.eval.occ_sweep_device import occlusion_sweep_device
+
+    rng = np.random.RandomState(0)
+    bins, issame = [], []
+    for p in range(40):  # 10-fold KFold needs same+diff pairs per fold
+        a = rng.randint(0, 255, (112, 112, 3), np.uint8)
+        bins.append(imencode(a))
+        if p % 2 == 0:
+            bins.append(imencode(np.clip(a.astype(int) + 3, 0,
+                                         255).astype(np.uint8)))
+            issame.append(True)
+        else:
+            bins.append(imencode(rng.randint(0, 255, (112, 112, 3),
+                                             np.uint8)))
+            issame.append(False)
+    path = str(tmp_path / "t.bin")
+    with open(path, "wb") as f:
+        pickle.dump((bins, issame), f)
+
+    feats = {}
+
+    def make_extract(key):
+        def extract(x):
+            x = np.asarray(x, np.float32)
+            f = x.reshape(x.shape[0], -1)[:, ::97][:, :64]
+            feats.setdefault(key, []).append(f)
+            return f
+        return extract
+
+    imgs_pil, issame2 = load_bin_pil(path)
+    host = occlusion_sweep(imgs_pil, issame2, make_extract("host"),
+                           no_occ=True, is_gray=is_gray, use_norm=True,
+                           batch_size=10, verbose=False, dim_feature=64)
+    data_list = load_bin(path)[0]
+    dev = occlusion_sweep_device(data_list, issame, make_extract("dev"),
+                                 no_occ=True, is_gray=is_gray,
+                                 use_norm=True, batch_size=10,
+                                 verbose=False)
+    h = np.concatenate(feats["host"])
+    d = np.concatenate(feats["dev"])
+    assert h.shape == d.shape
+    np.testing.assert_allclose(np.sort(h.ravel()), np.sort(d.ravel()),
+                               atol=1e-6)
+    assert abs(host[0]["avg_acc"] - dev[0]["avg_acc"]) < 1e-12
+    assert np.allclose(host[0]["tar_at_far"], dev[0]["tar_at_far"])
