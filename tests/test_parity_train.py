@@ -27,3 +27,26 @@ def test_train_step_parity(tmp_path):
         assert r["cos"] >= 1.0 - 1e-5, (top, r)
         assert r["norm_rel_delta"] <= 1e-3, (top, r)
     assert res["all_pass"], res
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo absent")
+def test_optimizer_trajectory_parity(tmp_path):
+    """3 full optimizer steps in both stacks: SGD(momentum 0.9, wd 5e-4)
+    with the 4 LR groups of train.py:153-178, clip_grad_norm_(5), and a
+    LambdaLR decay boundary mid-trajectory — per-step losses, pre-clip
+    grad norms and the net parameter update all pinned."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from msml_tpu.tools.parity_train import main, parse_args
+    res = main(parse_args(["--steps", "3", "--batch", "4",
+                           "--classes", "8"]))
+    assert len(res["steps"]) == 3
+    # randomized weights produce norms far above 5: the clip path must
+    # actually engage, or the test proves nothing about it
+    assert res["clip_engaged_steps"] == 3
+    for i, s in enumerate(res["steps"]):
+        assert s["loss_rel"] <= 1e-3, (i, s)
+        assert s["norm_rel"] <= 1e-3, (i, s)
+    for top, r in res["updates"].items():
+        assert r["cos"] >= 1.0 - 1e-4, (top, r)
+        assert r["norm_rel_delta"] <= 3e-3, (top, r)
+    assert res["all_pass"], res
