@@ -58,6 +58,27 @@ def build_dataset(cfg, args, local_world: int):
 
 
 def main(args):
+    # Preemption-safe checkpointing (beyond the reference, whose only
+    # recovery is per-epoch saves + manual --resume, SURVEY §5): TPU VMs
+    # are commonly preemptible, and the maintenance event / autoscaler
+    # delivers SIGTERM to every process of the pod. The handler only sets
+    # a flag; the train loop saves a full orbax checkpoint at the next
+    # step boundary and exits cleanly (rc 0), so `--resume` continues at
+    # the exact step. On multi-host pods all processes receive the signal
+    # and reach the same step boundary, so the collective orbax save is
+    # coherent. Installed first so even a signal during compile is caught.
+    import signal
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    prev_sigterm = None
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (e.g. called from a test harness)
+
     from msml_tpu.core.tpu_flags import apply_tuned_flags
     apply_tuned_flags()
     if args.platform:
@@ -235,16 +256,26 @@ def main(args):
                 # per epoch, train.py:366 — SURVEY §5 'crash-safety: none')
                 ckpt.save_checkpoint(cfg.output, state, global_step)
                 logger.info("periodic checkpoint at step %d" % global_step)
+            if preempted["flag"]:
+                ckpt.save_checkpoint(cfg.output, state, global_step)
+                logger.warning("SIGTERM received: preemption checkpoint "
+                               "saved at step %d, exiting cleanly "
+                               "(resume with --resume)" % global_step)
+                done = True
+                break
             if args.steps and global_step >= args.steps:
                 done = True
                 break
-        ckpt.save_checkpoint(cfg.output, state, global_step)
-        logger.info("checkpoint saved at step %d (epoch %d)"
-                    % (global_step, epoch))
+        if not preempted["flag"]:
+            ckpt.save_checkpoint(cfg.output, state, global_step)
+            logger.info("checkpoint saved at step %d (epoch %d)"
+                        % (global_step, epoch))
         if done:
             break
     if hasattr(trainset, "close"):
         trainset.close()
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     logger.info("training finished at step %d" % global_step)
     return state
 

@@ -40,3 +40,57 @@ def test_cli_train_synthetic_smoke(tmp_path, scan_steps):
     ckpts = list(outdir.rglob("ckpt"))
     assert ckpts and any(ckpts[0].iterdir()), sorted(
         str(p) for p in outdir.rglob("*"))[:20]
+
+
+@pytest.mark.slow
+def test_cli_train_sigterm_preemption(tmp_path):
+    """TPU-VM preemption contract: SIGTERM mid-training -> full checkpoint
+    at the next step boundary + clean exit (rc 0), resumable with --resume.
+    The signal is sent as soon as the run's training.log appears (i.e.
+    after the handler is installed but typically during compile), proving
+    the flag survives the compile phase and is honored at the first step."""
+    import signal
+    import time
+
+    cfg = yaml.safe_load(open(os.path.join(REPO, "configs",
+                                           "arc18_msml.yaml")))
+    cfg.update(dataset="synthetic", rec="", batch_size=4, num_classes=16,
+               out_folder=str(tmp_path / "out"))
+    cfg_path = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "msml_tpu.cli.train", "--config",
+         str(cfg_path), "--steps", "50", "--platform", "cpu",
+         "--cpu-devices", "4"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        # wait for init_logging's file (created right after the handler)
+        deadline = time.time() + 300
+        log = None
+        while time.time() < deadline:
+            logs = list((tmp_path / "out").rglob("training.log"))
+            if logs:
+                log = logs[0]
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(1.0)
+        assert log is not None and proc.poll() is None, \
+            (proc.poll(), proc.stdout.read()[-3000:])
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=1200)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, out[-3000:]
+    assert "preemption checkpoint" in out, out[-3000:]
+    ckpts = list((tmp_path / "out").rglob("ckpt"))
+    assert ckpts and any(ckpts[0].iterdir())
+    # and the checkpoint is at a step > 0 (saved after a real step)
+    steps = [int(p.name) for p in ckpts[0].iterdir() if p.name.isdigit()]
+    assert steps and max(steps) > 0, steps
