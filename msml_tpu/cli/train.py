@@ -178,8 +178,13 @@ def main(args):
     logger.info("Total Step is: %d" % total_step)
 
     loss_meter = AverageMeter()
+    writer = None
+    if args.tensorboard and jax.process_index() == 0:
+        from msml_tpu.core.logging import MetricsWriter
+        writer = MetricsWriter(os.path.join(cfg.output, "tb"), logger)
     tlog = ThroughputLogger(args.log_every, total_step,
-                            cfg.batch_size * world, world, logger)
+                            cfg.batch_size * world, world, logger,
+                            writer=writer)
 
     # in-training verification every 8000 steps, rank 0 only
     # (train.py:215, utils_callbacks.py:22-23: the .bin lives on rank 0)
@@ -248,6 +253,12 @@ def main(args):
                         cfg.exp_id, float(metrics["seg_loss"]),
                         float(metrics["cls_loss"]), float(metrics["kd"]),
                         float(metrics["grad_norm"])))
+                if writer is not None:
+                    for tag in ("seg_loss", "cls_loss", "grad_norm"):
+                        writer.scalar(tag, float(metrics[tag]), global_step)
+                    writer.scalar("kd_loss", float(metrics["kd"]),
+                                  global_step)
+                    writer.scalar("lr_factor", lr_factor, global_step)
             if _crossed(args.ver_every):
                 callback_verification(
                     global_step // args.ver_every * args.ver_every)
@@ -274,6 +285,8 @@ def main(args):
             break
     if hasattr(trainset, "close"):
         trainset.close()
+    if writer is not None:
+        writer.close()
     if prev_sigterm is not None:
         signal.signal(signal.SIGTERM, prev_sigterm)
     logger.info("training finished at step %d" % global_step)
@@ -293,6 +306,10 @@ def parse_args(argv=None):
                    help="verification cadence (train.py:215)")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="crash-safe mid-epoch checkpoint interval (steps)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write TensorBoard scalars to <output>/tb (the "
+                        "working version of the writer the reference plumbs "
+                        "but never wires, utils_callbacks.py:80-82)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--scan-unroll", type=int, default=None,
                    help="lax.scan unroll inside the window (default: yaml "

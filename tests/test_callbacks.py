@@ -3,6 +3,8 @@
 import logging
 import pickle
 
+import pytest
+
 import numpy as np
 
 from msml_tpu.core.callbacks import CallBackVerification
@@ -101,3 +103,64 @@ def test_verification_prepare_finish_hooks(tmp_path):
         finish_fn=lambda: calls.append("fin"))
     res = cb.ver_test(100)
     assert calls == ["prep", "fin"] and len(res) == 1
+
+
+def test_metrics_writer_tensorboard(tmp_path):
+    """MetricsWriter writes TB event scalars when wired into
+    ThroughputLogger (the working version of the writer the reference
+    plumbs as None, utils_callbacks.py:80-82); reference tags emitted."""
+    import time as _time
+
+    from msml_tpu.core.logging import (AverageMeter, MetricsWriter,
+                                       ThroughputLogger)
+
+    pytest.importorskip("torch.utils.tensorboard")
+    logger = logging.getLogger("msml_tpu.test_tb")
+    w = MetricsWriter(str(tmp_path / "tb"), logger)
+    tl = ThroughputLogger(frequency=1, total_step=100, global_batch=10,
+                          num_chips=1, logger=logger, writer=w)
+    loss = AverageMeter()
+    loss.update(2.5)
+    for step in (1, 2, 3):
+        tl(step, loss, epoch=0)
+        loss.update(2.5)
+        _time.sleep(0.01)
+    w.scalar("cls_loss", 1.25, 3)
+    w.flush()
+
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+    acc = EventAccumulator(str(tmp_path / "tb"))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    # reference tags + ours
+    assert {"time_for_end", "loss", "samples_per_sec",
+            "img_per_sec_per_chip", "cls_loss"} <= tags, tags
+    assert acc.Scalars("loss")[0].value == pytest.approx(2.5)
+    w.close()
+
+
+def test_metrics_writer_degrades_without_backend(tmp_path, caplog):
+    """No tensorboard backend -> warning + no-op scalars, never a crash."""
+    import builtins
+
+    from msml_tpu.core import logging as mlog
+
+    real_import = builtins.__import__
+
+    def failing_import(name, *a, **k):
+        if name.startswith("torch.utils.tensorboard"):
+            raise ImportError("no tensorboard in this env")
+        return real_import(name, *a, **k)
+
+    logger = logging.getLogger("msml_tpu.test_tb2")
+    with caplog.at_level(logging.WARNING, logger="msml_tpu.test_tb2"):
+        builtins.__import__ = failing_import
+        try:
+            w = mlog.MetricsWriter(str(tmp_path / "tb"), logger)
+        finally:
+            builtins.__import__ = real_import
+    assert any("scalars disabled" in r.message for r in caplog.records)
+    w.scalar("loss", 1.0, 1)  # no-op, no crash
+    w.flush()
+    w.close()

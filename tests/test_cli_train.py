@@ -27,13 +27,20 @@ def test_cli_train_synthetic_smoke(tmp_path, scan_steps):
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    tb_args = (["--tensorboard", "--log-every", "1"]
+               if scan_steps == 1 else [])
     out = subprocess.run(
         [sys.executable, "-m", "msml_tpu.cli.train", "--config",
          str(cfg_path), "--steps", str(2 * scan_steps), "--scan-steps",
-         str(scan_steps), "--platform", "cpu", "--cpu-devices", "4"],
+         str(scan_steps), "--platform", "cpu", "--cpu-devices", "4"]
+        + tb_args,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
     assert "training finished" in out.stdout + out.stderr
+    if tb_args:
+        events = list((tmp_path / "out").rglob("tb/events*"))
+        assert events and events[0].stat().st_size > 0, \
+            sorted(str(p) for p in (tmp_path / "out").rglob("*"))[:20]
     # a checkpoint was written under the self-describing weight folder
     # (core/checkpoint.py stores under <output>/ckpt/<step>)
     outdir = tmp_path / "out"
