@@ -128,8 +128,9 @@ def main(args):
     if jax.process_index() != 0:
         import logging
         logger.setLevel(logging.WARNING)
-    mesh = make_mesh()
-    world = mesh.shape["data"]
+    mesh = make_mesh(num_slices=max(int(args.dcn_slices), 1))
+    from msml_tpu.core.mesh import mesh_world
+    world = mesh_world(mesh)
     local_world = jax.local_device_count()
     logger.info("mesh: %d devices / %d processes (%s); config: %s"
                 % (world, jax.process_count(), jax.devices()[0].platform,
@@ -169,6 +170,11 @@ def main(args):
                         % int(state.step))
         else:
             logger.info("resume fail, backbone init successfully!")
+
+    # long-lived async checkpoint manager: serialization overlaps training
+    # (orbax AsyncCheckpointer; --sync-ckpt restores blocking saves)
+    ckpt_writer = ckpt.CheckpointWriter(cfg.output,
+                                        async_save=not args.sync_ckpt)
 
     trainset = build_dataset(cfg, args, local_world)
     steps_per_epoch = len(trainset) // (cfg.batch_size * world)
@@ -265,10 +271,11 @@ def main(args):
             if _crossed(args.ckpt_every):
                 # crash-safe mid-epoch checkpoint (the reference only saves
                 # per epoch, train.py:366 — SURVEY §5 'crash-safety: none')
-                ckpt.save_checkpoint(cfg.output, state, global_step)
+                ckpt_writer.save(state, global_step)
                 logger.info("periodic checkpoint at step %d" % global_step)
             if preempted["flag"]:
-                ckpt.save_checkpoint(cfg.output, state, global_step)
+                ckpt_writer.save(state, global_step)
+                ckpt_writer.wait()  # durable before the VM disappears
                 logger.warning("SIGTERM received: preemption checkpoint "
                                "saved at step %d, exiting cleanly "
                                "(resume with --resume)" % global_step)
@@ -278,13 +285,14 @@ def main(args):
                 done = True
                 break
         if not preempted["flag"]:
-            ckpt.save_checkpoint(cfg.output, state, global_step)
+            ckpt_writer.save(state, global_step)
             logger.info("checkpoint saved at step %d (epoch %d)"
                         % (global_step, epoch))
         if done:
             break
     if hasattr(trainset, "close"):
         trainset.close()
+    ckpt_writer.close()  # waits for any in-flight async save
     if writer is not None:
         writer.close()
     if prev_sigterm is not None:
@@ -306,6 +314,9 @@ def parse_args(argv=None):
                    help="verification cadence (train.py:215)")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="crash-safe mid-epoch checkpoint interval (steps)")
+    p.add_argument("--sync-ckpt", action="store_true",
+                   help="blocking checkpoint saves (default: async orbax "
+                        "saves that overlap training)")
     p.add_argument("--tensorboard", action="store_true",
                    help="write TensorBoard scalars to <output>/tb (the "
                         "working version of the writer the reference plumbs "
@@ -329,6 +340,11 @@ def parse_args(argv=None):
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--cpu-devices", type=int, default=8,
                    help="virtual device count when --platform cpu")
+    p.add_argument("--dcn-slices", type=int, default=1,
+                   help="multi-slice pods: number of TPU slices; builds a "
+                        "(slice, data) mesh with PartialFC collectives "
+                        "ICI-local and only the per-step grad reduction "
+                        "crossing DCN (core/mesh.py)")
     return p.parse_args(argv)
 
 

@@ -19,11 +19,45 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def _manager(output_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+def _manager(output_dir: str, max_to_keep: int = 3,
+             async_save: bool = False) -> ocp.CheckpointManager:
     path = os.path.abspath(os.path.join(output_dir, "ckpt"))
     return ocp.CheckpointManager(
-        path, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
-                                                   create=True))
+        path, options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True,
+            enable_async_checkpointing=async_save))
+
+
+class CheckpointWriter:
+    """Long-lived checkpoint manager for the train loop.
+
+    Two improvements over calling `save_checkpoint` per save:
+      * one manager for the whole run (no per-save directory rescan);
+      * optional ASYNC saves (orbax AsyncCheckpointer, the TPU-pod
+        standard): the device->host snapshot happens inline, serialization
+        and fsync run in a background thread so training overlaps the
+        write. `close()` (and every next `save`) waits for the previous
+        write, so at most one save is in flight and the final checkpoint
+        is always durable before exit.
+    """
+
+    def __init__(self, output_dir: str, max_to_keep: int = 3,
+                 async_save: bool = True):
+        self._mngr = _manager(output_dir, max_to_keep, async_save=async_save)
+
+    def save(self, state: Any, step: int) -> bool:
+        """Returns True if a save was started (False: step already saved)."""
+        if step in self._mngr.all_steps():
+            return False
+        self._mngr.save(step, args=ocp.args.StandardSave({"state": state}))
+        return True
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def close(self):
+        self._mngr.wait_until_finished()
+        self._mngr.close()
 
 
 def save_checkpoint(output_dir: str, state: Any, step: int) -> None:

@@ -6,34 +6,73 @@ reference's ranks: the batch is sharded over it (DDP analogue, `train.py:94-99`)
 and the PartialFC classifier's class dimension is sharded over it
 (`headers/partial_fc.py:34-36`). All collectives (psum / all_gather /
 psum_scatter) ride ICI inside a single pjit'd/shard_map'd step.
+
+Multi-slice (DCN) topology: `make_mesh(num_slices=S)` builds a 2-D mesh
+``("slice", "data")`` with the data axis INSIDE a slice. The batch is
+sharded over both axes (plain data parallelism across the whole pod
+aggregate), but the PartialFC class shard — whose collectives move
+per-step feature/logit traffic (all_gather + psum + the AD
+reduce_scatter) — lives on the inner ``data`` axis only, so that traffic
+rides ICI; the only cross-slice (DCN) communication is the once-per-step
+gradient reduction, exactly the layout the scaling playbook prescribes
+(collectives ride ICI, not DCN). The reference has no multi-node story at
+all (single-host NCCL rendezvous, `train.py:54`).
 """
 
 from __future__ import annotations
+
+from typing import Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SLICE_AXIS = "slice"
 
 
-def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D mesh over all (or the given) devices."""
+def make_mesh(devices=None, axis_name: str = DATA_AXIS,
+              num_slices: int = 1) -> Mesh:
+    """1-D mesh over all (or the given) devices; with ``num_slices > 1``,
+    a 2-D ("slice", "data") mesh whose data axis is intra-slice.
+
+    Devices are grouped by their hardware ``slice_index`` when the runtime
+    exposes one (real multi-slice TPU), so the inner axis truly maps to
+    ICI; otherwise (CPU meshes, tests) the given order is split evenly."""
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = list(devices)
+    if num_slices <= 1:
+        return Mesh(np.asarray(devices), (axis_name,))
+    if len(devices) % num_slices:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"num_slices={num_slices}")
+    if all(getattr(d, "slice_index", None) is not None for d in devices):
+        devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
+    arr = np.asarray(devices).reshape(num_slices, -1)
+    return Mesh(arr, (SLICE_AXIS, axis_name))
+
+
+def mesh_world(mesh: Mesh) -> int:
+    """Total device count (the reference's world_size, train.py:47)."""
+    return int(mesh.devices.size)
+
+
+def batch_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Mesh axes the batch dimension is sharded over (all of them)."""
+    return tuple(mesh.axis_names)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh, axis_name: str = DATA_AXIS) -> int:
-    n = mesh.shape[axis_name]
+    n = mesh_world(mesh)
     if global_batch % n != 0:
-        raise ValueError(f"global batch {global_batch} not divisible by mesh axis {n}")
+        raise ValueError(f"global batch {global_batch} not divisible by mesh size {n}")
     return global_batch // n
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over every mesh axis."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -41,5 +80,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def class_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (class) dim of the PartialFC weight over the data axis."""
+    """Shard the leading (class) dim of the PartialFC weight over the data
+    axis ONLY — on a multi-slice mesh the shard is replicated across
+    slices, keeping the per-step feature/logit collectives on ICI."""
     return NamedSharding(mesh, P(axis_name))

@@ -69,7 +69,8 @@ def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2,
     scan_steps, batch dim second) for make_train_step(scan_steps=n)."""
     if scan_steps > 1:
         it = _stack_windows(it, scan_steps)
-        sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+        from msml_tpu.core.mesh import batch_axes
+        sharding = NamedSharding(mesh, P(None, batch_axes(mesh)))
     else:
         sharding = batch_sharding(mesh)
     multihost = jax.process_count() > 1

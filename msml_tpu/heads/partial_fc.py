@@ -77,6 +77,15 @@ class PartialFC:
     label_smoothing: float = 0.1              # `partial_fc.py:154`
     normalize_features: bool = True
     axis_name: str = "data"
+    # Multi-slice (DCN) topology: the class shard lives on `axis_name`
+    # (intra-slice, ICI) and is REPLICATED across `slice_axis`. Feature
+    # gathering and softmax stats stay per-slice (each slice runs the CE
+    # over its own batch rows); only sampling must see the POD-wide labels
+    # (a positive anywhere in the global batch must be in the subset, and
+    # the subset must be identical on every slice replica of the shard so
+    # the replicated weight stays consistent after the cross-slice grad
+    # reduction). See core/mesh.py.
+    slice_axis: Optional[str] = None
 
     def num_local(self, world_size: int) -> int:
         return pad_classes(self.num_classes, world_size)
@@ -87,24 +96,31 @@ class PartialFC:
         return int(self.sample_rate * self.num_local(world_size))
 
     # ---------------------------------------------------------------- sample
-    def _sample_indices(self, local_label: jnp.ndarray, rng: jax.Array,
-                        num_local: int, world_size: int
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Index selection of `sample()` — weight-free, so it can run
-        OUTSIDE the autodiff closure (the selection depends only on labels
-        and rng). Returns (sorted unique index, remapped_label)."""
+    def _select_indices(self, sel_label: jnp.ndarray, rng: jax.Array,
+                        num_local: int, world_size: int) -> jnp.ndarray:
+        """Class-subset selection of `sample()` — weight-free, so it can
+        run OUTSIDE the autodiff closure (depends only on labels and rng).
+        `sel_label` holds every in-shard positive that must be kept (on a
+        multi-slice mesh: from the pod-wide batch). Returns the sorted
+        unique index."""
         num_sample = self.num_sample(world_size)
         perm = jax.random.uniform(rng, (num_local,))
-        valid = local_label >= 0
-        pos = jnp.where(valid, local_label, 0)
+        valid = sel_label >= 0
+        pos = jnp.where(valid, sel_label, 0)
         # force positives into the top-k (reference sets perm[positive] = 2.0);
         # max-scatter so invalid rows (mapped to index 0) can't stomp a
         # positive's boost
         perm = perm.at[pos].max(jnp.where(valid, 2.0, -jnp.inf))
         _, index = lax.top_k(perm, num_sample)
-        index = jnp.sort(index)
-        # remap local labels to positions within `index`
-        # (`partial_fc.py:92` torch.searchsorted)
+        return jnp.sort(index)
+
+    def _remap_labels(self, index: jnp.ndarray,
+                      local_label: jnp.ndarray) -> jnp.ndarray:
+        """Map shard-local labels to positions within the sampled `index`
+        (`partial_fc.py:92` torch.searchsorted); labels not in the subset
+        map to -1."""
+        num_sample = index.shape[0]
+        valid = local_label >= 0
         remapped = jnp.searchsorted(index, jnp.where(valid, local_label, 0))
         remapped = jnp.clip(remapped, 0, num_sample - 1)
         # Static-shape deviation from `partial_fc.py:89-90`: when distinct
@@ -112,23 +128,33 @@ class PartialFC:
         # them; with fixed shapes the overflow rows are dropped (-1) instead.
         # Unreachable in practice: num_sample ~ sample_rate*num_local >> batch.
         hit = index[remapped] == jnp.where(valid, local_label, -2)
-        remapped = jnp.where(valid & hit, remapped, -1)
-        return index, remapped
+        return jnp.where(valid & hit, remapped, -1)
+
+    def _sample_indices(self, local_label: jnp.ndarray, rng: jax.Array,
+                        num_local: int, world_size: int
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Selection + remap from the same label vector (single-slice)."""
+        index = self._select_indices(local_label, rng, num_local, world_size)
+        return index, self._remap_labels(index, local_label)
 
     def sample(self, weight: jnp.ndarray, local_label: jnp.ndarray,
-               rng: jax.Array, world_size: int
+               rng: jax.Array, world_size: int,
+               sel_label: Optional[jnp.ndarray] = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Positive-preserving negative-class sampling
         (`partial_fc.py:77-94`).
 
         Returns (sub_weight, remapped_label, index). `index` is the sorted
-        per-shard class subset; labels outside it map to -1.
+        per-shard class subset; labels outside it map to -1. `sel_label`
+        (multi-slice: the pod-wide labels) overrides which positives the
+        subset must keep; row remapping always uses `local_label`.
         """
         num_local = weight.shape[0]
         if self.num_sample(world_size) >= num_local:
             return weight, local_label, jnp.arange(num_local)
-        index, remapped = self._sample_indices(local_label, rng, num_local,
-                                               world_size)
+        sel = local_label if sel_label is None else sel_label
+        index = self._select_indices(sel, rng, num_local, world_size)
+        remapped = self._remap_labels(index, local_label)
         sub_weight = weight.at[index].get(
             unique_indices=True, indices_are_sorted=True,
             mode="promise_in_bounds")
@@ -146,6 +172,20 @@ class PartialFC:
             total_label < class_start + num_local)
         return jnp.where(in_shard, total_label - class_start, -1), class_start
 
+    def _selection_labels(self, label: jnp.ndarray,
+                          num_local: int) -> jnp.ndarray:
+        """Shard-local view of every label the subset selection must keep:
+        the POD-wide batch labels (gathered across the slice axis too),
+        identical on every slice replica of this class shard."""
+        axis = self.axis_name
+        my = lax.axis_index(axis)
+        total = lax.all_gather(label, axis, tiled=True)
+        if self.slice_axis is not None:
+            total = lax.all_gather(total, self.slice_axis, tiled=True)
+        class_start = my * num_local
+        in_shard = (total >= class_start) & (total < class_start + num_local)
+        return jnp.where(in_shard, total - class_start, -1)
+
     def presample(self, label: jnp.ndarray, rng: jax.Array
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Compute (sample_index, local_label) for this shard OUTSIDE the
@@ -160,10 +200,13 @@ class PartialFC:
         world = lax.axis_size(axis)
         num_local = self.num_local(world)
         local_label, _ = self._shard_labels(label, num_local)
+        sel_label = (local_label if self.slice_axis is None
+                     else self._selection_labels(label, num_local))
+        # fold by the DATA index only: slice replicas of a shard must
+        # select the identical subset
         rng = jax.random.fold_in(rng, lax.axis_index(axis))
-        index, remapped = self._sample_indices(local_label, rng, num_local,
-                                               world)
-        return index, remapped
+        index = self._select_indices(sel_label, rng, num_local, world)
+        return index, self._remap_labels(index, local_label)
 
     # ------------------------------------------------------------------ loss
     def loss(self, weight: jnp.ndarray, features: jnp.ndarray,
@@ -190,9 +233,11 @@ class PartialFC:
         if int(self.sample_rate) != 1:
             if rng is None:
                 raise ValueError("sampled PartialFC needs an rng")
+            sel_label = (None if self.slice_axis is None
+                         else self._selection_labels(label, num_local))
             rng = jax.random.fold_in(rng, my)
             weight, local_label, sample_index = self.sample(
-                weight, local_label, rng, world)
+                weight, local_label, rng, world, sel_label)
         return self._ce(weight, features, local_label, sample_index,
                         class_start)
 

@@ -38,8 +38,9 @@ from flax import struct
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from msml_tpu.core.mesh import (DATA_AXIS, batch_sharding,
-                                class_sharding, replicated)
+from msml_tpu.core.mesh import (DATA_AXIS, SLICE_AXIS, batch_axes,
+                                batch_sharding, class_sharding, mesh_world,
+                                replicated)
 from msml_tpu.heads.partial_fc import PartialFC, init_pfc_weight
 from msml_tpu.losses import structure_consensus_loss
 from msml_tpu.train import optim
@@ -115,24 +116,40 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     wd = float(cfg.weight_decay)
     momentum_coef = float(cfg.momentum)
     use_pfc = pfc is not None
-    world = mesh.shape[DATA_AXIS]
+    # Multi-slice (DCN) topology, see core/mesh.py: the batch is sharded
+    # over every mesh axis; PartialFC class shards + their per-step
+    # feature/logit collectives live on the inner "data" axis (ICI); the
+    # only cross-slice traffic is the once-per-step grad reduction.
+    slice_axis = SLICE_AXIS if SLICE_AXIS in mesh.axis_names else None
+    world = mesh.shape[DATA_AXIS]       # class shards (per slice)
+    world_total = mesh_world(mesh)      # global data-parallel width
+    all_axes = ((slice_axis, DATA_AXIS) if slice_axis else DATA_AXIS)
+    if use_pfc and pfc.slice_axis != slice_axis:
+        import dataclasses
+        pfc = dataclasses.replace(pfc, slice_axis=slice_axis)
     # sampled PFC: presample the class subset OUTSIDE the autodiff closure
     # and differentiate wrt the gathered rows — kills the dense scatter-add
     # (AD transpose of the in-closure gather; 5% of the ir100 step, PERF.md)
     use_pfc_rows = (use_pfc and int(pfc.sample_rate) != 1
                     and pfc.num_sample(world) < pfc.num_local(world))
-    pfc_base_lr = cfg.lr / 512.0 * cfg.batch_size * world
+    pfc_base_lr = cfg.lr / 512.0 * cfg.batch_size * world_total
     axis = DATA_AXIS
 
     def shard_body(state: TrainState, batch, lr_factor, rng):
         my = lax.axis_index(axis)
+        if slice_axis is not None:
+            my = lax.axis_index(slice_axis) * world + my
         step_rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), my)
+        # PFC sampling rng: device-invariant here (presample/loss fold the
+        # DATA index internally); slice replicas of a shard must select the
+        # identical class subset, so the SLICE index must never enter it
+        pfc_rng = jax.random.fold_in(rng, state.step)
         img, label = batch["img"], batch["label"]
         ori = batch["ori"] if use_ori else None
-        global_b = img.shape[0] * world
+        global_b = img.shape[0] * world_total
 
         if use_pfc_rows:
-            pfc_index, pfc_local_label = pfc.presample(label, step_rng)
+            pfc_index, pfc_local_label = pfc.presample(label, pfc_rng)
             pfc_rows = state.pfc_weight.at[pfc_index].get(
                 unique_indices=True, indices_are_sorted=True,
                 mode="promise_in_bounds")
@@ -157,24 +174,32 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                 sample_index = pfc_aux["sample_index"]
             elif use_pfc:
                 cls_loss, pfc_aux = pfc.loss(pfc_weight, head_out, label,
-                                             step_rng)
+                                             pfc_rng)
                 nll = pfc_aux["nll"]
                 sample_index = pfc_aux["sample_index"]
             else:
                 logp = jax.nn.log_softmax(head_out.astype(jnp.float32), -1)
                 row_nll = -jnp.take_along_axis(logp, label[:, None], 1)[:, 0]
-                cls_loss = lax.psum(row_nll.sum(), axis) / global_b
+                cls_loss = lax.psum(row_nll.sum(), all_axes) / global_b
                 nll = cls_loss
                 sample_index = None
+            if use_pfc and slice_axis is not None:
+                # PFC runs per-slice over its own batch rows; the global
+                # CE is the mean of equal-sized per-slice means (the AD
+                # transpose of this pmean carries the 1/S into the
+                # per-slice pfc grads, summed below)
+                cls_loss = lax.pmean(cls_loss, slice_axis)
+                nll = lax.pmean(nll, slice_axis)
 
             if use_osb:
                 seg_local = structure_consensus_loss(final_seg, batch["msk"])
-                seg_loss = lax.pmean(seg_local, axis)
+                seg_loss = lax.pmean(seg_local, all_axes)
             else:
                 seg_loss = jnp.float32(0.0)
 
-            kd = lax.pmean(jnp.asarray(kd, jnp.float32), axis)
-            rec_loss = lax.pmean(jnp.asarray(rec_loss, jnp.float32), axis)
+            kd = lax.pmean(jnp.asarray(kd, jnp.float32), all_axes)
+            rec_loss = lax.pmean(jnp.asarray(rec_loss, jnp.float32),
+                                 all_axes)
             total = (cls_loss + lambda1 * seg_loss + kd_weight * kd
                      + rec_loss)
             aux_out = dict(batch_stats=mutated["batch_stats"], nll=nll,
@@ -194,7 +219,12 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
             pfc_grad = None
 
         # DDP-equivalent: sum partial per-shard grads into the true gradient
-        bb_grads = lax.psum(bb_grads, axis)
+        bb_grads = lax.psum(bb_grads, all_axes)
+        if use_pfc and slice_axis is not None:
+            # slice replicas hold 1/S-scaled per-slice grads of the same
+            # weight rows (pmean transpose): one cross-slice (DCN) psum
+            # makes the replicated shard's update consistent
+            pfc_grad = lax.psum(pfc_grad, slice_axis)
         bb_grads, gnorm = optim.clip_by_global_norm(bb_grads, clip_norm)
 
         new_params, new_momentum = optim.sgd_update(
@@ -214,7 +244,7 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
         # per-shard BN stats -> replicated running stats (documented
         # deviation: the reference keeps per-rank buffers and checkpoints
         # rank 0's; averaging is equivalent-or-better and keeps state SPMD)
-        new_bs = lax.pmean(aux["batch_stats"], axis)
+        new_bs = lax.pmean(aux["batch_stats"], all_axes)
 
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, momentum=new_momentum,
@@ -236,14 +266,25 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     _metric_keys = ("total_loss", "cls_loss", "seg_loss", "kd", "nll",
                     "grad_norm")
 
+    b_axes = batch_axes(mesh)
+
+    # On multi-slice meshes the static replication checker cannot infer
+    # that the PFC weight/momentum stay slice-replicated (the update is
+    # provably slice-invariant: pod-wide selection labels + data-only rng
+    # fold + cross-slice-psum'd grads — but the VMA analysis can't follow
+    # that algebra). Disabled ONLY for that case; the bit-identical-replica
+    # regression test covers it empirically (tests/test_multislice.py).
+    _sm_kwargs = {"check_vma": False} if (slice_axis and use_pfc) else {}
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr_factor, rng):
         body = jax.shard_map(
             shard_body, mesh=mesh,
             in_specs=(_state_spec(state),
-                      jax.tree.map(lambda _: P(axis), batch), P(), P()),
+                      jax.tree.map(lambda _: P(b_axes), batch), P(), P()),
             out_specs=(_state_spec(state),
-                       {k: P() for k in _metric_keys}))
+                       {k: P() for k in _metric_keys}),
+            **_sm_kwargs)
         return body(state, batch, lr_factor, rng)
 
     def bound_step(state, batch, lr_factor, rng):
@@ -282,11 +323,11 @@ def make_eval_step(model, mesh: Mesh):
     """Jitted feature extraction: (params, batch_stats, img) -> embeddings
     (the eval contract of `msml.py:173-174`).
 
-    The batch is sharded over the mesh's data axis (the reference's
-    nn.DataParallel eval analogue, qeval_mxnet.py:162) — callers may pass
-    any host batch size; it is zero-padded up to a multiple of the mesh and
-    the padding rows are dropped from the returned features."""
-    n = mesh.shape[DATA_AXIS]
+    The batch is sharded over the mesh (the reference's nn.DataParallel
+    eval analogue, qeval_mxnet.py:162) — callers may pass any host batch
+    size; it is zero-padded up to a multiple of the mesh and the padding
+    rows are dropped from the returned features."""
+    n = mesh_world(mesh)
     sharding = batch_sharding(mesh)
 
     @jax.jit

@@ -111,3 +111,39 @@ def test_save_same_step_twice_is_noop(tmp_path):
     assert latest_step(str(tmp_path)) == 7
     out = restore_checkpoint(str(tmp_path), {"w": jnp.zeros(4)})
     assert float(out["w"][3]) == 3.0
+
+
+def test_async_checkpoint_writer_roundtrip(tmp_path):
+    """CheckpointWriter (async orbax saves overlapping training, the
+    cli.train path): save -> mutate live state -> save again -> close;
+    both steps durable, restore returns each exactly; same-step re-save
+    is a no-op (returns False)."""
+    cfg = _cfg()
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION,
+                             external_header=True)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), mesh,
+                             use_pfc=True)
+    out = str(tmp_path / "wf")
+
+    w = ckpt.CheckpointWriter(out, async_save=True)
+    s1 = state.replace(step=state.step + 1,
+                       pfc_momentum=state.pfc_momentum + 1.0)
+    assert w.save(s1, 1) is True
+    # the async snapshot must be decoupled from later mutations of the
+    # "live" training state
+    s2 = s1.replace(step=s1.step + 1,
+                    pfc_momentum=s1.pfc_momentum + 2.0)
+    assert w.save(s2, 2) is True
+    w.wait()
+    assert w.save(s2, 2) is False  # dedup, like save_checkpoint
+    w.close()
+
+    template = init_train_state(model, cfg, jax.random.PRNGKey(1), mesh,
+                                use_pfc=True)
+    r1 = ckpt.restore_checkpoint(out, template, step=1)
+    r2 = ckpt.restore_checkpoint(out, template, step=2)
+    assert int(r1.step) == 1 and int(r2.step) == 2
+    np.testing.assert_allclose(np.asarray(r2.pfc_momentum),
+                               np.asarray(r1.pfc_momentum) + 2.0)
+    _tree_equal(r2.params, s2.params)
