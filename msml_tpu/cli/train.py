@@ -128,7 +128,7 @@ def main(args):
     if jax.process_index() != 0:
         import logging
         logger.setLevel(logging.WARNING)
-    mesh = make_mesh(num_slices=max(int(args.dcn_slices), 1))
+    mesh = make_mesh(num_slices=max(int(args.dcn_slices), 0))
     from msml_tpu.core.mesh import mesh_world
     world = mesh_world(mesh)
     local_world = jax.local_device_count()
@@ -340,8 +340,9 @@ def parse_args(argv=None):
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--cpu-devices", type=int, default=8,
                    help="virtual device count when --platform cpu")
-    p.add_argument("--dcn-slices", type=int, default=1,
-                   help="multi-slice pods: number of TPU slices; builds a "
+    p.add_argument("--dcn-slices", type=int, default=0,
+                   help="multi-slice pods: number of TPU slices (0 = "
+                        "auto-detect from the device topology); builds a "
                         "(slice, data) mesh with PartialFC collectives "
                         "ICI-local and only the per-step grad reduction "
                         "crossing DCN (core/mesh.py)")

@@ -42,6 +42,9 @@ def make_mesh(devices=None, axis_name: str = DATA_AXIS,
     if devices is None:
         devices = jax.devices()
     devices = list(devices)
+    if num_slices == 0:  # auto: infer from the hardware topology
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        num_slices = len(slice_ids) if None not in slice_ids else 1
     if num_slices <= 1:
         return Mesh(np.asarray(devices), (axis_name,))
     if len(devices) % num_slices:

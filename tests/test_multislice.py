@@ -50,6 +50,9 @@ def test_make_mesh_multislice_shape():
     assert local_batch_size(BATCH, mesh) == BATCH // (SLICES * DATA)
     with pytest.raises(ValueError):
         make_mesh(jax.devices()[:6], num_slices=4)
+    # auto-detect: CPU devices expose no slice topology -> 1-D mesh
+    auto = make_mesh(jax.devices()[:8], num_slices=0)
+    assert auto.axis_names == ("data",)
 
 
 def _dense_oracle(w, feats, labels, eps=0.1):
