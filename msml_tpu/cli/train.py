@@ -64,21 +64,32 @@ def main(args):
     # delivers SIGTERM to every process of the pod. The handler only sets
     # a flag; the train loop saves a full orbax checkpoint at the next
     # step boundary and exits cleanly (rc 0), so `--resume` continues at
-    # the exact step. On multi-host pods all processes receive the signal
-    # and reach the same step boundary, so the collective orbax save is
-    # coherent. Installed first so even a signal during compile is caught.
+    # the exact step. Installed first so even a signal during compile is
+    # caught; restored in a finally so an aborted run never leaves the
+    # flag-only handler behind in a library caller's process.
     import signal
     preempted = {"flag": False}
 
     def _on_sigterm(signum, frame):
         preempted["flag"] = True
 
-    prev_sigterm = None
+    prev_sigterm = signal.getsignal(signal.SIGTERM)
+    installed = False
     try:
-        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+        signal.signal(signal.SIGTERM, _on_sigterm)
+        installed = True
     except ValueError:
         pass  # not the main thread (e.g. called from a test harness)
+    try:
+        return _main_inner(args, preempted)
+    finally:
+        if installed:
+            signal.signal(signal.SIGTERM,
+                          prev_sigterm if prev_sigterm is not None
+                          else signal.SIG_DFL)
 
+
+def _main_inner(args, preempted):
     from msml_tpu.core.tpu_flags import apply_tuned_flags
     apply_tuned_flags()
     if args.platform:
@@ -235,6 +246,22 @@ def main(args):
     global_step = int(state.step)
     start_epoch = global_step // max(steps_per_epoch, 1)
     done = False
+    preempt_exit = False
+    n_proc = jax.process_count()
+
+    def _preempt_now():
+        # Pod-wide agreement: hosts can receive SIGTERM a few ms apart;
+        # acting on the local flag alone could let one host enter the
+        # collective checkpoint save while another runs one more step —
+        # deadlocking the pod inside its preemption grace period. One tiny
+        # host-level allgather per dispatched window (multi-host only;
+        # every process calls it unconditionally — it is a collective).
+        if n_proc == 1:
+            return preempted["flag"]
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray([preempted["flag"]], np.int32))
+        return bool(np.asarray(flags).any())
     use_procs = hasattr(trainset, "epoch") and cfg.get("nw", 0) > 0 and \
         not isinstance(trainset, SyntheticDataset)
     for epoch in range(start_epoch, cfg.num_epoch):
@@ -273,18 +300,19 @@ def main(args):
                 # per epoch, train.py:366 — SURVEY §5 'crash-safety: none')
                 ckpt_writer.save(state, global_step)
                 logger.info("periodic checkpoint at step %d" % global_step)
-            if preempted["flag"]:
+            if _preempt_now():
                 ckpt_writer.save(state, global_step)
                 ckpt_writer.wait()  # durable before the VM disappears
                 logger.warning("SIGTERM received: preemption checkpoint "
                                "saved at step %d, exiting cleanly "
                                "(resume with --resume)" % global_step)
                 done = True
+                preempt_exit = True
                 break
             if args.steps and global_step >= args.steps:
                 done = True
                 break
-        if not preempted["flag"]:
+        if not preempt_exit:
             ckpt_writer.save(state, global_step)
             logger.info("checkpoint saved at step %d (epoch %d)"
                         % (global_step, epoch))
@@ -295,8 +323,6 @@ def main(args):
     ckpt_writer.close()  # waits for any in-flight async save
     if writer is not None:
         writer.close()
-    if prev_sigterm is not None:
-        signal.signal(signal.SIGTERM, prev_sigterm)
     logger.info("training finished at step %d" % global_step)
     return state
 

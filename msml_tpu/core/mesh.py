@@ -50,9 +50,24 @@ def make_mesh(devices=None, axis_name: str = DATA_AXIS,
     if len(devices) % num_slices:
         raise ValueError(f"{len(devices)} devices not divisible by "
                          f"num_slices={num_slices}")
+    arr = np.asarray(devices).reshape(num_slices, -1)
     if all(getattr(d, "slice_index", None) is not None for d in devices):
         devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
-    arr = np.asarray(devices).reshape(num_slices, -1)
+        arr = np.asarray(devices).reshape(num_slices, -1)
+        # each mesh row must be a single hardware slice — otherwise the
+        # "data" axis (which carries PartialFC's per-step feature/logit
+        # collectives) silently spans a DCN boundary and the whole point
+        # of the layout is lost
+        for row in arr:
+            row_slices = {d.slice_index for d in row}
+            if len(row_slices) != 1:
+                n_hw = len({d.slice_index for d in devices})
+                raise ValueError(
+                    f"num_slices={num_slices} does not match the hardware "
+                    f"topology ({n_hw} slices over {len(devices)} devices):"
+                    f" a mesh row would mix slices {sorted(row_slices)} — "
+                    f"its 'data' axis would cross DCN. Use num_slices=0 "
+                    f"(auto) or num_slices={n_hw}.")
     return Mesh(arr, (SLICE_AXIS, axis_name))
 
 
@@ -66,7 +81,8 @@ def batch_axes(mesh: Mesh) -> Tuple[str, ...]:
     return tuple(mesh.axis_names)
 
 
-def local_batch_size(global_batch: int, mesh: Mesh, axis_name: str = DATA_AXIS) -> int:
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    """Per-device batch: the batch dim shards over EVERY mesh axis."""
     n = mesh_world(mesh)
     if global_batch % n != 0:
         raise ValueError(f"global batch {global_batch} not divisible by mesh size {n}")

@@ -160,31 +160,35 @@ class PartialFC:
             mode="promise_in_bounds")
         return sub_weight, remapped, index
 
-    def _shard_labels(self, label: jnp.ndarray, num_local: int
+    def _map_to_shard(self, total_label: jnp.ndarray, num_local: int
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """all_gather the global labels and map them into this shard's
-        class range (outside -> -1). Returns (local_label, class_start)."""
-        axis = self.axis_name
-        my = lax.axis_index(axis)
-        total_label = lax.all_gather(label, axis, tiled=True)
-        class_start = my * num_local
+        """Map already-gathered global labels into this shard's class
+        range (outside -> -1). Returns (local_label, class_start)."""
+        class_start = lax.axis_index(self.axis_name) * num_local
         in_shard = (total_label >= class_start) & (
             total_label < class_start + num_local)
         return jnp.where(in_shard, total_label - class_start, -1), class_start
 
-    def _selection_labels(self, label: jnp.ndarray,
-                          num_local: int) -> jnp.ndarray:
-        """Shard-local view of every label the subset selection must keep:
-        the POD-wide batch labels (gathered across the slice axis too),
-        identical on every slice replica of this class shard."""
-        axis = self.axis_name
-        my = lax.axis_index(axis)
-        total = lax.all_gather(label, axis, tiled=True)
-        if self.slice_axis is not None:
-            total = lax.all_gather(total, self.slice_axis, tiled=True)
-        class_start = my * num_local
-        in_shard = (total >= class_start) & (total < class_start + num_local)
-        return jnp.where(in_shard, total - class_start, -1)
+    def _shard_labels(self, label: jnp.ndarray, num_local: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """all_gather the (slice-local) global labels and map them into
+        this shard's class range. Returns (local_label, class_start)."""
+        total_label = lax.all_gather(label, self.axis_name, tiled=True)
+        return self._map_to_shard(total_label, num_local)
+
+    def _gather_labels(self, label: jnp.ndarray, num_local: int
+                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """One data-axis gather for the CE row labels, plus (multi-slice
+        only) the POD-wide labels the subset selection must keep —
+        identical on every slice replica of this class shard. Returns
+        (row_label, sel_label_or_None)."""
+        total = lax.all_gather(label, self.axis_name, tiled=True)
+        row_label, _ = self._map_to_shard(total, num_local)
+        if self.slice_axis is None:
+            return row_label, None
+        pod = lax.all_gather(total, self.slice_axis, tiled=True)
+        sel_label, _ = self._map_to_shard(pod, num_local)
+        return row_label, sel_label
 
     def presample(self, label: jnp.ndarray, rng: jax.Array
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -199,9 +203,9 @@ class PartialFC:
         axis = self.axis_name
         world = lax.axis_size(axis)
         num_local = self.num_local(world)
-        local_label, _ = self._shard_labels(label, num_local)
-        sel_label = (local_label if self.slice_axis is None
-                     else self._selection_labels(label, num_local))
+        local_label, sel_label = self._gather_labels(label, num_local)
+        if sel_label is None:
+            sel_label = local_label
         # fold by the DATA index only: slice replicas of a shard must
         # select the identical subset
         rng = jax.random.fold_in(rng, lax.axis_index(axis))
@@ -227,14 +231,12 @@ class PartialFC:
         num_local = weight.shape[0]
         class_start = my * num_local
 
-        local_label, _ = self._shard_labels(label, num_local)
+        local_label, sel_label = self._gather_labels(label, num_local)
 
         sample_index = None
         if int(self.sample_rate) != 1:
             if rng is None:
                 raise ValueError("sampled PartialFC needs an rng")
-            sel_label = (None if self.slice_axis is None
-                         else self._selection_labels(label, num_local))
             rng = jax.random.fold_in(rng, my)
             weight, local_label, sample_index = self.sample(
                 weight, local_label, rng, world, sel_label)

@@ -142,8 +142,12 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
         step_rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), my)
         # PFC sampling rng: device-invariant here (presample/loss fold the
         # DATA index internally); slice replicas of a shard must select the
-        # identical class subset, so the SLICE index must never enter it
-        pfc_rng = jax.random.fold_in(rng, state.step)
+        # identical class subset, so the SLICE index must never enter it.
+        # Domain-separated from step_rng (0x9FC tag): otherwise on a 1-D
+        # mesh fold_in(this, data_idx) would REUSE the dropout key for the
+        # sampling uniform draw
+        pfc_rng = jax.random.fold_in(jax.random.fold_in(rng, 0x9FC),
+                                     state.step)
         img, label = batch["img"], batch["label"]
         ori = batch["ori"] if use_ori else None
         global_b = img.shape[0] * world_total

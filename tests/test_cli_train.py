@@ -86,8 +86,13 @@ def test_cli_train_sigterm_preemption(tmp_path):
             if proc.poll() is not None:
                 break
             time.sleep(1.0)
-        assert log is not None and proc.poll() is None, \
-            (proc.poll(), proc.stdout.read()[-3000:])
+        if log is None or proc.poll() is not None:
+            # failure path: kill BEFORE reading the pipe (reading a live
+            # process's stdout blocks until EOF)
+            rc = proc.poll()
+            proc.kill()
+            out, _ = proc.communicate()
+            raise AssertionError((rc, out[-3000:]))
         proc.send_signal(signal.SIGTERM)
         out, _ = proc.communicate(timeout=1200)
     finally:

@@ -55,6 +55,21 @@ def test_make_mesh_multislice_shape():
     assert auto.axis_names == ("data",)
 
 
+def test_make_mesh_rejects_topology_mismatch():
+    """--dcn-slices that disagrees with the hardware slice grouping must
+    error loudly: a mesh row mixing hardware slices silently routes the
+    'data'-axis (PFC) collectives over DCN."""
+    class FakeDev:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+    # 4 hardware slices of 2 devices, asked for 2 mesh slices of 4:
+    # row 0 would hold hardware slices {0, 1}
+    devs = [FakeDev(i, i // 2) for i in range(8)]
+    with pytest.raises(ValueError, match="does not match the hardware"):
+        make_mesh(devs, num_slices=2)
+
+
 def _dense_oracle(w, feats, labels, eps=0.1):
     """Full-batch dense smoothed CE with the owner-shard smoothing quirk,
     at DATA class shards (identical to test_partial_fc's oracle with
