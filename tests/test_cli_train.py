@@ -16,8 +16,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("scan_steps", [1, 2])
-def test_cli_train_synthetic_smoke(tmp_path, scan_steps):
+@pytest.mark.parametrize("scan_steps,dcn_slices", [(1, 1), (2, 1), (2, 2)])
+def test_cli_train_synthetic_smoke(tmp_path, scan_steps, dcn_slices):
     cfg = yaml.safe_load(open(os.path.join(REPO, "configs",
                                            "arc18_msml.yaml")))
     cfg.update(dataset="synthetic", rec="", batch_size=4, num_classes=16,
@@ -29,11 +29,14 @@ def test_cli_train_synthetic_smoke(tmp_path, scan_steps):
     env.pop("XLA_FLAGS", None)
     tb_args = (["--tensorboard", "--log-every", "1"]
                if scan_steps == 1 else [])
+    # dcn_slices=2 drives the multi-slice mesh through the whole entry
+    # point: 2-axis batch sharding in device_prefetch scan windows,
+    # mesh_world LR scaling, checkpointing of the 2-D-mesh state
     out = subprocess.run(
         [sys.executable, "-m", "msml_tpu.cli.train", "--config",
          str(cfg_path), "--steps", str(2 * scan_steps), "--scan-steps",
-         str(scan_steps), "--platform", "cpu", "--cpu-devices", "4"]
-        + tb_args,
+         str(scan_steps), "--platform", "cpu", "--cpu-devices", "4",
+         "--dcn-slices", str(dcn_slices)] + tb_args,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
     assert "training finished" in out.stdout + out.stderr
