@@ -1,0 +1,317 @@
+"""Embedding HTTP server: production serving for a trained MSML model.
+
+The reference has no serving story — its eval scripts rebuild the full
+torch training stack per run (`eval/qeval_mxnet.py:106-171`). This serves
+a weight folder (live JAX model) or a `tools/export_serving.py` StableHLO
+artifact behind a dependency-free HTTP API, with the two standard
+TPU-serving disciplines built in:
+
+- **dynamic batching**: concurrent requests are gathered into one device
+  batch (up to `--max-batch`, waiting at most `--batch-window-ms`), so
+  single-image callers still fill the MXU;
+- **static shape buckets**: batches are zero-padded to power-of-two
+  bucket sizes, so XLA compiles a handful of executables once instead of
+  one per observed batch size.
+
+API (all responses JSON):
+  GET  /healthz      -> {"status": "ok", ...model metadata}
+  POST /embed        body = image bytes (any PIL-decodable format);
+                     the weight folder's eval transform (resize, center
+                     crop, [-1,1] / gray) is applied server-side
+                     -> {"embedding": [...]}
+  POST /embed_batch  body = .npy of preprocessed f32 (B, H, W, C)
+                     -> {"embeddings": [[...], ...]}
+
+Features are flip-summed and l2-normalized by default (the eval
+protocols' convention); `--no-flip` / `--raw` opt out.
+
+Usage:
+  msml-serve --weight_folder out/arc18_msml_1 --port 8000
+  msml-serve --artifact model.stablehlo --port 8000   # no flax needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+
+import numpy as np
+
+_MAX_BODY = 64 * 1024 * 1024
+
+
+def _buckets(max_batch: int):
+    bs, b = [], 1
+    while b < max_batch:
+        bs.append(b)
+        b *= 2
+    return bs + [max_batch]
+
+
+class Batcher:
+    """Gather concurrent single-image requests into padded device batches.
+
+    One inference thread owns the device; handler threads block on a
+    per-request Event. Inference errors propagate to every request in the
+    failed batch.
+    """
+
+    def __init__(self, infer, max_batch: int = 32, window_ms: float = 5.0,
+                 request_timeout: float = 120.0):
+        self._infer = infer  # (B, H, W, C) f32 -> (B, D) np.ndarray
+        self._max = int(max_batch)
+        self._window = float(window_ms) / 1e3
+        self._timeout = float(request_timeout)
+        self._bucket_sizes = _buckets(self._max)
+        self._q = queue.Queue()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def submit(self, x: np.ndarray, timeout: float | None = None) -> np.ndarray:
+        ev, slot = threading.Event(), {}
+        self._q.put((x, ev, slot))
+        if not ev.wait(self._timeout if timeout is None else timeout):
+            raise TimeoutError("inference timed out")
+        if "err" in slot:
+            raise slot["err"]
+        return slot["y"]
+
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            batch = [first]
+            deadline = time.monotonic() + self._window
+            while len(batch) < self._max:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            xs = np.stack([b[0] for b in batch]).astype(np.float32)
+            try:
+                ys = self.run_padded(xs)
+                for i, (_, ev, slot) in enumerate(batch):
+                    slot["y"] = ys[i]
+                    ev.set()
+            except Exception as e:  # propagate to all waiters
+                for _, ev, slot in batch:
+                    slot["err"] = e
+                    ev.set()
+
+    def run_padded(self, xs: np.ndarray) -> np.ndarray:
+        """Pad (B,...) to the next bucket size, run, slice back."""
+        n = xs.shape[0]
+        bucket = next((b for b in self._bucket_sizes if b >= n), None)
+        if bucket is None:  # larger than max batch: chunk
+            outs = [self.run_padded(xs[s:s + self._max])
+                    for s in range(0, n, self._max)]
+            return np.concatenate(outs, axis=0)
+        if bucket != n:
+            pad = np.zeros((bucket - n,) + xs.shape[1:], xs.dtype)
+            xs = np.concatenate([xs, pad], axis=0)
+        return np.asarray(self._infer(xs))[:n]
+
+
+class ModelRunner:
+    """Preprocessing + (flip-sum, l2-norm) policy around a raw forward."""
+
+    def __init__(self, raw_infer, out_size, is_gray, use_norm,
+                 flip=True, l2_norm=True, meta=None):
+        self.out_size = tuple(out_size)
+        self.is_gray = bool(is_gray)
+        self.use_norm = bool(use_norm)
+        self.flip = bool(flip)
+        self.l2_norm = bool(l2_norm)
+        self.meta = dict(meta or {})
+        self._raw = raw_infer
+
+    def infer(self, x: np.ndarray) -> np.ndarray:
+        """(B, H, W, C) preprocessed f32 -> (B, D) policy-applied feats."""
+        f = np.asarray(self._raw(x), np.float32)
+        if self.flip:
+            f = f + np.asarray(self._raw(x[:, :, ::-1, :]), np.float32)
+        if self.l2_norm:
+            from msml_tpu.eval.verification import l2_normalize_np
+            f = l2_normalize_np(f)
+        return f
+
+    def preprocess_image(self, data: bytes) -> np.ndarray:
+        from PIL import Image
+
+        from msml_tpu.eval.folder_eval import tensorize_folder_img
+        im = Image.open(io.BytesIO(data)).convert("RGB")
+        return tensorize_folder_img(im, self.out_size, self.use_norm,
+                                    self.is_gray, flip=False)
+
+    @property
+    def input_shape(self):
+        return (self.out_size[1], self.out_size[0],
+                1 if self.is_gray else 3)
+
+
+def runner_from_weight_folder(weight_folder: str, **policy) -> ModelRunner:
+    from msml_tpu.core.weight_folder import load_weight_folder
+    from msml_tpu.train.train_step import make_eval_step
+
+    cfg, model, state, mesh, _ = load_weight_folder(weight_folder)
+    eval_step = make_eval_step(model, mesh)
+    params, stats = state.params, state.batch_stats
+
+    def raw(x):
+        return eval_step(params, stats, x)
+
+    return ModelRunner(
+        raw, cfg.out_size, cfg.get("is_gray", False),
+        cfg.get("use_norm", True),
+        meta={"source": weight_folder, "network": cfg.frb_type,
+              "dim": int(cfg.dim_feature)}, **policy)
+
+
+def runner_from_artifact(path: str, **policy) -> ModelRunner:
+    """Serve a serialized StableHLO artifact; the training stack is not
+    imported — only jax + the exporter's sidecar metadata."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        fn = jexport.deserialize(f.read())
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    h, w, c = meta["input_hwc"]
+    return ModelRunner(
+        fn.call, (w, h), c == 1, meta.get("use_norm", True),
+        meta={"source": path, **{k: meta[k] for k in ("network", "dim")
+                                 if k in meta}}, **policy)
+
+
+def make_handler(runner: ModelRunner, batcher: Batcher):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _send(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/"):
+                self._send(200, {"status": "ok",
+                                 "input_hwc": list(runner.input_shape),
+                                 "flip_sum": runner.flip,
+                                 "l2_norm": runner.l2_norm, **runner.meta})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            if n <= 0 or n > _MAX_BODY:
+                raise ValueError(f"bad Content-Length {n}")
+            return self.rfile.read(n)
+
+        def do_POST(self):
+            try:
+                if self.path == "/embed":
+                    x = runner.preprocess_image(self._body())
+                    y = batcher.submit(x)
+                    self._send(200, {"embedding": y.tolist()})
+                elif self.path == "/embed_batch":
+                    arr = np.load(io.BytesIO(self._body()),
+                                  allow_pickle=False)
+                    want = runner.input_shape
+                    if arr.ndim != 4 or tuple(arr.shape[1:]) != want:
+                        raise ValueError(
+                            f"expected (B,{','.join(map(str, want))}), "
+                            f"got {arr.shape}")
+                    y = batcher.run_padded(arr.astype(np.float32))
+                    self._send(200, {"embeddings": y.tolist()})
+                else:
+                    self._send(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 - surface as 400
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def build_server(runner: ModelRunner, host="127.0.0.1", port=0,
+                 max_batch=32, window_ms=5.0, request_timeout=120.0):
+    from http.server import ThreadingHTTPServer
+
+    batcher = Batcher(lambda x: runner.infer(x), max_batch=max_batch,
+                      window_ms=window_ms, request_timeout=request_timeout)
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(runner, batcher))
+    return httpd, batcher
+
+
+def main(args):
+    import jax
+
+    from msml_tpu.core.tpu_flags import apply_tuned_flags
+    apply_tuned_flags()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    policy = {"flip": args.flip, "l2_norm": args.l2_norm}
+    if args.artifact:
+        runner = runner_from_artifact(args.artifact, **policy)
+    else:
+        runner = runner_from_weight_folder(args.weight_folder, **policy)
+
+    # warm the bucket executables so the first request isn't a compile
+    if args.warmup:
+        for b in _buckets(args.max_batch):
+            runner.infer(np.zeros((b,) + runner.input_shape, np.float32))
+
+    httpd, _ = build_server(runner, args.host, args.port,
+                            args.max_batch, args.batch_window_ms,
+                            args.request_timeout)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+          f"(input {runner.input_shape}, max_batch {args.max_batch})",
+          flush=True)
+    httpd.serve_forever()
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="msml_tpu embedding server")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--weight_folder")
+    src.add_argument("--artifact",
+                     help="serialized StableHLO from tools/export_serving")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--batch-window-ms", type=float, default=5.0)
+    p.add_argument("--request-timeout", type=float, default=120.0,
+                   help="per-request wait bound; raise when serving "
+                        "without --warmup (cold TPU compiles take minutes)")
+    p.add_argument("--flip", action="store_true", default=True,
+                   help="flip-sum features (the eval protocols' default)")
+    p.add_argument("--no-flip", dest="flip", action="store_false")
+    p.add_argument("--l2-norm", action="store_true", default=True)
+    p.add_argument("--raw", dest="l2_norm", action="store_false")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   default=True)
+    p.add_argument("--platform", default="")
+    return p.parse_args(argv)
+
+
+def cli():
+    """Console entry point (pyproject [project.scripts])."""
+    main(parse_args())
+
+
+if __name__ == "__main__":
+    cli()

@@ -20,7 +20,7 @@ Load side (no msml_tpu needed):
 from __future__ import annotations
 
 import argparse
-import os
+import json
 
 
 def export_eval_fn(model, params, batch_stats, input_shape, batch=None):
@@ -61,7 +61,15 @@ def main(args):
                           batch=args.batch if args.batch > 0 else None)
     with open(args.out, "wb") as f:
         f.write(blob)
-    print(f"wrote {len(blob)} bytes -> {args.out} "
+    # sidecar metadata so `msml-serve --artifact` can preprocess without
+    # the weight folder (input geometry + eval-transform switches)
+    meta = {"input_hwc": [h, w, c],
+            "use_norm": bool(cfg.get("use_norm", True)),
+            "network": str(cfg.frb_type), "dim": int(cfg.dim_feature),
+            "batch": args.batch if args.batch > 0 else "symbolic"}
+    with open(args.out + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote {len(blob)} bytes -> {args.out} (+ .json) "
           f"(input ({'b' if args.batch <= 0 else args.batch}, {h}, {w}, {c}))")
 
 
