@@ -155,22 +155,40 @@ class ModelRunner:
                 1 if self.is_gray else 3)
 
 
-def runner_from_weight_folder(weight_folder: str, **policy) -> ModelRunner:
+def runner_from_weight_folder(weight_folder: str, quant: str = "",
+                              **policy) -> ModelRunner:
     from msml_tpu.core.weight_folder import load_weight_folder
     from msml_tpu.train.train_step import make_eval_step
 
     cfg, model, state, mesh, _ = load_weight_folder(weight_folder)
-    eval_step = make_eval_step(model, mesh)
     params, stats = state.params, state.batch_stats
 
-    def raw(x):
-        return eval_step(params, stats, x)
+    if quant == "int8":
+        # int8 PTQ serving: v5e runs s8 MXU ops at 2x the bf16 rate; the
+        # jaxpr transform quantizes every eligible conv/fc without
+        # touching the model (core/quantize.py).
+        import jax
+
+        from msml_tpu.core.quantize import quantize_fn
+        variables = {"params": params, "batch_stats": stats}
+
+        def fwd(x):
+            feature, _ = model.apply(variables, x, train=False)
+            return feature
+
+        raw = jax.jit(quantize_fn(fwd))
+    else:
+        eval_step = make_eval_step(model, mesh)
+
+        def raw(x):
+            return eval_step(params, stats, x)
 
     return ModelRunner(
         raw, cfg.out_size, cfg.get("is_gray", False),
         cfg.get("use_norm", True),
         meta={"source": weight_folder, "network": cfg.frb_type,
-              "dim": int(cfg.dim_feature)}, **policy)
+              "dim": int(cfg.dim_feature),
+              **({"quant": quant} if quant else {})}, **policy)
 
 
 def runner_from_artifact(path: str, **policy) -> ModelRunner:
@@ -266,9 +284,14 @@ def main(args):
 
     policy = {"flip": args.flip, "l2_norm": args.l2_norm}
     if args.artifact:
+        if args.quant:
+            raise SystemExit("--quant applies to --weight_folder serving; "
+                             "for artifacts, export with "
+                             "export_serving --quant int8 instead")
         runner = runner_from_artifact(args.artifact, **policy)
     else:
-        runner = runner_from_weight_folder(args.weight_folder, **policy)
+        runner = runner_from_weight_folder(args.weight_folder,
+                                           quant=args.quant, **policy)
 
     # warm the bucket executables so the first request isn't a compile
     if args.warmup:
@@ -304,6 +327,9 @@ def parse_args(argv=None):
     p.add_argument("--raw", dest="l2_norm", action="store_false")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    default=True)
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="post-training quantization of the serving "
+                        "forward (int8: 2x MXU rate on v5e)")
     p.add_argument("--platform", default="")
     return p.parse_args(argv)
 

@@ -23,8 +23,11 @@ import argparse
 import json
 
 
-def export_eval_fn(model, params, batch_stats, input_shape, batch=None):
-    """Serialize the eval forward. batch=None -> symbolic batch dim."""
+def export_eval_fn(model, params, batch_stats, input_shape, batch=None,
+                   quant=""):
+    """Serialize the eval forward. batch=None -> symbolic batch dim;
+    quant="int8" exports the PTQ graph (weights fold to int8 constants,
+    so the artifact also shrinks ~4x; core/quantize.py)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -34,6 +37,10 @@ def export_eval_fn(model, params, batch_stats, input_shape, batch=None):
     def fwd(img):
         feature, _ = model.apply(variables, img, train=False)
         return feature
+
+    if quant == "int8":
+        from msml_tpu.core.quantize import quantize_fn
+        fwd = quantize_fn(fwd)
 
     if batch is None:
         (b,) = jexport.symbolic_shape("b")
@@ -58,7 +65,8 @@ def main(args):
     blob = export_eval_fn(model, jax.device_get(restored.params),
                           jax.device_get(restored.batch_stats),
                           (h, w, c),
-                          batch=args.batch if args.batch > 0 else None)
+                          batch=args.batch if args.batch > 0 else None,
+                          quant=args.quant)
     with open(args.out, "wb") as f:
         f.write(blob)
     # sidecar metadata so `msml-serve --artifact` can preprocess without
@@ -66,7 +74,8 @@ def main(args):
     meta = {"input_hwc": [h, w, c],
             "use_norm": bool(cfg.get("use_norm", True)),
             "network": str(cfg.frb_type), "dim": int(cfg.dim_feature),
-            "batch": args.batch if args.batch > 0 else "symbolic"}
+            "batch": args.batch if args.batch > 0 else "symbolic",
+            **({"quant": args.quant} if args.quant else {})}
     with open(args.out + ".json", "w") as f:
         json.dump(meta, f, indent=1)
     print(f"wrote {len(blob)} bytes -> {args.out} (+ .json) "
@@ -80,6 +89,9 @@ def parse_args(argv=None):
     p.add_argument("--out", default="model.stablehlo")
     p.add_argument("--batch", type=int, default=0,
                    help="fixed batch size; <=0 exports a symbolic batch dim")
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="post-training int8 quantization of the exported "
+                        "graph (2x MXU rate on v5e, ~4x smaller artifact)")
     p.add_argument("--platform", default="cpu")
     return p.parse_args(argv)
 

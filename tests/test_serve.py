@@ -216,3 +216,12 @@ def test_serve_stablehlo_artifact_end_to_end(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_quant_flag_rejected_for_artifacts():
+    from msml_tpu.cli import serve
+
+    args = serve.parse_args(["--artifact", "m.stablehlo", "--quant", "int8",
+                             "--no-warmup"])
+    with pytest.raises(SystemExit):
+        serve.main(args)
