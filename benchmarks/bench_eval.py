@@ -1,4 +1,8 @@
-"""Inference (eval forward) throughput of the flagship model on the chip."""
+"""Inference (eval forward) throughput of the flagship model on the chip.
+
+Usage: bench_eval.py [BATCH] [--quant int8]
+--quant int8 measures the PTQ serving path (core/quantize.py): v5e runs
+s8 MXU ops at 2x the bf16 rate, so this bounds the serving speedup."""
 import json
 import sys
 import os
@@ -21,7 +25,7 @@ from msml_tpu.core.config import Config, config_init
 from msml_tpu.core.precision import DEFAULT_POLICY
 from msml_tpu.nn.msml import msml_from_config
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+B = next((int(a) for a in sys.argv[1:] if a.isdigit()), 512)
 cfg = Config.from_dict({
     "dataset": "synthetic", "fp16": True, "batch_size": B,
     "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
@@ -40,10 +44,19 @@ v = model.init({"params": rng, "dropout": rng}, x,
 v = {"params": v["params"], "batch_stats": v["batch_stats"]}
 
 
-@jax.jit
-def fwd(img):
+QUANT = "int8" if "--quant" in sys.argv and "int8" in sys.argv else ""
+
+
+def _fwd(img):
     feature, _ = model.apply(v, img, train=False)
     return feature
+
+
+if QUANT == "int8":
+    from msml_tpu.core.quantize import quantize_fn
+    fwd = jax.jit(quantize_fn(_fwd))
+else:
+    fwd = jax.jit(_fwd)
 
 
 imgs = jnp.asarray(np.random.RandomState(0).randn(B, 112, 112, 3),
@@ -58,5 +71,6 @@ for _ in range(N):
     out = fwd(imgs)
 float(out[0, 0])
 dt = time.perf_counter() - t0
-print(json.dumps({"metric": f"arc18_msml_eval_images_per_sec_b{B}",
+suffix = f"_{QUANT}" if QUANT else ""
+print(json.dumps({"metric": f"arc18_msml_eval_images_per_sec_b{B}{suffix}",
                   "value": round(N * B / dt, 2), "unit": "img/s"}))

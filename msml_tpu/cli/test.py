@@ -74,7 +74,7 @@ def main(args):
                 params=merge_into(host_p, p_in),
                 batch_stats=merge_into(jax.device_get(state.batch_stats),
                                        s_in))
-        eval_step = make_eval_step(model, mesh)
+        eval_step = make_eval_step(model, mesh, quant=args.quant)
 
         def extract_fn(img_np):
             return eval_step(state.params, state.batch_stats,
@@ -236,9 +236,13 @@ def _build_baseline(args):
     stats = merge_into(jax.device_get(variables.get("batch_stats", {})),
                        stats_in)
 
-    @jax.jit
-    def fwd(img):
+    def _fwd(img):
         return apply_fn({"params": params, "batch_stats": stats}, img)
+
+    if args.quant == "int8":
+        from msml_tpu.core.quantize import quantize_fn
+        _fwd = quantize_fn(_fwd)
+    fwd = jax.jit(_fwd)
 
     def extract_fn(img_np):
         return fwd(jnp.asarray(img_np, jnp.float32))
@@ -285,6 +289,10 @@ def parse_args(argv=None):
     p.add_argument("--save-features", type=str, default="",
                    help="save flip-summed features per ratio/repeat as .npy "
                         "(qeval_mxnet.py:392-396 cache)")
+    p.add_argument("--quant", type=str, default="", choices=["", "int8"],
+                   help="post-training int8 quantization of the eval "
+                        "forward (core/quantize.py); run against a "
+                        "non-quantized baseline to bound accuracy impact")
     p.add_argument("--platform", type=str, default="")
     p.add_argument("--device-sweep", action="store_true",
                    help="run occlusion + normalize on the TPU "

@@ -323,23 +323,29 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     return bound_multi
 
 
-def make_eval_step(model, mesh: Mesh):
+def make_eval_step(model, mesh: Mesh, quant: str = ""):
     """Jitted feature extraction: (params, batch_stats, img) -> embeddings
     (the eval contract of `msml.py:173-174`).
 
     The batch is sharded over the mesh (the reference's nn.DataParallel
     eval analogue, qeval_mxnet.py:162) — callers may pass any host batch
     size; it is zero-padded up to a multiple of the mesh and the padding
-    rows are dropped from the returned features."""
-    n = mesh_world(mesh)
-    sharding = batch_sharding(mesh)
+    rows are dropped from the returned features. quant="int8" applies the
+    PTQ graph transform (core/quantize.py): per-sample activation scales
+    make padded rows and re-batching bit-inert."""
 
-    @jax.jit
-    def eval_step(params, batch_stats, img):
+    def fwd(params, batch_stats, img):
         feature, _ = model.apply({"params": params,
                                   "batch_stats": batch_stats},
                                  img, train=False)
         return feature
+
+    if quant == "int8":
+        from msml_tpu.core.quantize import quantize_fn
+        fwd = quantize_fn(fwd)
+    eval_step = jax.jit(fwd)
+    n = mesh_world(mesh)
+    sharding = batch_sharding(mesh)
 
     def bound(params, batch_stats, img):
         b = img.shape[0]
