@@ -13,8 +13,10 @@ TPU-serving disciplines built in:
   bucket sizes, so XLA compiles a handful of executables once instead of
   one per observed batch size.
 
-API (all responses JSON):
+API (all responses JSON unless noted):
   GET  /healthz      -> {"status": "ok", ...model metadata}
+  GET  /metrics      -> Prometheus text: request/batch/image counters,
+                     queue depth, request-latency histogram
   POST /embed        body = image bytes (any PIL-decodable format);
                      the weight folder's eval transform (resize, center
                      crop, [-1,1] / gray) is applied server-side
@@ -52,6 +54,70 @@ def _buckets(max_batch: int):
     return bs + [max_batch]
 
 
+class Metrics:
+    """Serving counters, rendered in Prometheus text exposition format
+    (GET /metrics) with no client-library dependency. Thread-safe; all
+    observations are O(1) under one lock."""
+
+    LATENCY_BUCKETS = (0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1,
+                       0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+    def __init__(self, queue_depth=lambda: 0):
+        self._lock = threading.Lock()
+        self._queue_depth = queue_depth
+        self.requests_total = 0
+        self.errors_total = 0
+        self.batches_total = 0
+        self.images_total = 0
+        self.latency_sum = 0.0
+        self.latency_count = 0
+        self.latency_hist = [0] * len(self.LATENCY_BUCKETS)
+
+    def observe_request(self, seconds: float, error: bool = False):
+        with self._lock:
+            self.requests_total += 1
+            if error:
+                self.errors_total += 1
+            self.latency_sum += seconds
+            self.latency_count += 1
+            for i, edge in enumerate(self.LATENCY_BUCKETS):
+                if seconds <= edge:
+                    self.latency_hist[i] += 1
+
+    def observe_batch(self, n: int):
+        with self._lock:
+            self.batches_total += 1
+            self.images_total += int(n)
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE msml_requests_total counter",
+                f"msml_requests_total {self.requests_total}",
+                "# TYPE msml_request_errors_total counter",
+                f"msml_request_errors_total {self.errors_total}",
+                "# TYPE msml_device_batches_total counter",
+                f"msml_device_batches_total {self.batches_total}",
+                "# TYPE msml_images_total counter",
+                f"msml_images_total {self.images_total}",
+                "# TYPE msml_queue_depth gauge",
+                f"msml_queue_depth {self._queue_depth()}",
+                "# TYPE msml_request_latency_seconds histogram",
+            ]
+            cum = 0
+            for edge, n in zip(self.LATENCY_BUCKETS, self.latency_hist):
+                cum = n  # buckets are stored cumulative already
+                lines.append('msml_request_latency_seconds_bucket'
+                             f'{{le="{edge}"}} {cum}')
+            lines.append('msml_request_latency_seconds_bucket{le="+Inf"} '
+                         f"{self.latency_count}")
+            lines.append("msml_request_latency_seconds_sum "
+                         f"{self.latency_sum:.6f}")
+            lines.append("msml_request_latency_seconds_count "
+                         f"{self.latency_count}")
+        return "\n".join(lines) + "\n"
+
+
 class Batcher:
     """Gather concurrent single-image requests into padded device batches.
 
@@ -61,12 +127,13 @@ class Batcher:
     """
 
     def __init__(self, infer, max_batch: int = 32, window_ms: float = 5.0,
-                 request_timeout: float = 120.0):
+                 request_timeout: float = 120.0, metrics: Metrics = None):
         self._infer = infer  # (B, H, W, C) f32 -> (B, D) np.ndarray
         self._max = int(max_batch)
         self._window = float(window_ms) / 1e3
         self._timeout = float(request_timeout)
         self._bucket_sizes = _buckets(self._max)
+        self.metrics = metrics
         self._q = queue.Queue()
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
@@ -115,7 +182,10 @@ class Batcher:
         if bucket != n:
             pad = np.zeros((bucket - n,) + xs.shape[1:], xs.dtype)
             xs = np.concatenate([xs, pad], axis=0)
-        return np.asarray(self._infer(xs))[:n]
+        out = np.asarray(self._infer(xs))[:n]
+        if self.metrics is not None:
+            self.metrics.observe_batch(n)
+        return out
 
 
 class ModelRunner:
@@ -230,6 +300,14 @@ def make_handler(runner: ModelRunner, batcher: Batcher):
                                  "input_hwc": list(runner.input_shape),
                                  "flip_sum": runner.flip,
                                  "l2_norm": runner.l2_norm, **runner.meta})
+            elif self.path == "/metrics" and batcher.metrics is not None:
+                body = batcher.metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -240,6 +318,8 @@ def make_handler(runner: ModelRunner, batcher: Batcher):
             return self.rfile.read(n)
 
         def do_POST(self):
+            t0 = time.monotonic()
+            err = False
             try:
                 if self.path == "/embed":
                     x = runner.preprocess_image(self._body())
@@ -258,7 +338,12 @@ def make_handler(runner: ModelRunner, batcher: Batcher):
                 else:
                     self._send(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 - surface as 400
+                err = True
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                if batcher.metrics is not None:
+                    batcher.metrics.observe_request(time.monotonic() - t0,
+                                                    error=err)
 
     return Handler
 
@@ -269,6 +354,7 @@ def build_server(runner: ModelRunner, host="127.0.0.1", port=0,
 
     batcher = Batcher(lambda x: runner.infer(x), max_batch=max_batch,
                       window_ms=window_ms, request_timeout=request_timeout)
+    batcher.metrics = Metrics(queue_depth=batcher._q.qsize)
     httpd = ThreadingHTTPServer((host, port),
                                 make_handler(runner, batcher))
     return httpd, batcher

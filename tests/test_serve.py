@@ -225,3 +225,68 @@ def test_quant_flag_rejected_for_artifacts():
                              "--no-warmup"])
     with pytest.raises(SystemExit):
         serve.main(args)
+
+
+def test_metrics_endpoint_and_load_bench():
+    """GET /metrics Prometheus counters + the bench_serve load generator
+    against a live (fake-model) server."""
+    runner = _runner()
+    httpd, batcher = build_server(runner, port=0, max_batch=8,
+                                  window_ms=1.0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        xs = np.random.RandomState(1).rand(3, 16, 16, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, xs)
+        for _ in range(2):
+            code, _ = _post(base + "/embed_batch", buf.getvalue())
+            assert code == 200
+        # a malformed request must count as an error
+        try:
+            _post(base + "/embed_batch", b"junk")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+            assert r.status == 200
+            assert "text/plain" in r.headers["Content-Type"]
+            text = r.read().decode()
+        m = {}
+        for line in text.splitlines():
+            if line and not line.startswith("#"):
+                k, v = line.rsplit(" ", 1)
+                m[k] = float(v)
+        assert m["msml_requests_total"] == 3
+        assert m["msml_request_errors_total"] == 1
+        assert m["msml_device_batches_total"] == 2
+        assert m["msml_images_total"] == 6
+        assert m["msml_request_latency_seconds_count"] == 3
+        # histogram is cumulative: +Inf bucket == count
+        assert m['msml_request_latency_seconds_bucket{le="+Inf"}'] == 3
+
+        # load generator: short burst, both request styles
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "benchmarks"))
+        from bench_serve import run_load
+        rep = run_load(base, concurrency=4, batch=4, duration=1.0)
+        assert rep["requests"] > 0 and rep["errors"] == 0
+        assert rep["images_per_sec"] >= rep["rps"] * 4 * 0.5
+        assert rep["p50_ms"] <= rep["p99_ms"]
+        rep1 = run_load(base, concurrency=4, batch=1, duration=1.0,
+                        single=True)
+        assert rep1["requests"] > 0 and rep1["errors"] == 0
+
+        # the load shows up in the metrics
+        with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+            text = r.read().decode()
+        total = [float(x.rsplit(" ", 1)[1]) for x in text.splitlines()
+                 if x.startswith("msml_requests_total")][0]
+        assert total >= 3 + rep["requests"] + rep1["requests"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
