@@ -234,19 +234,22 @@ def runner_from_weight_folder(weight_folder: str, quant: str = "",
     params, stats = state.params, state.batch_stats
 
     if quant == "int8":
-        # int8 PTQ serving: v5e runs s8 MXU ops at 2x the bf16 rate; the
-        # jaxpr transform quantizes every eligible conv/fc without
-        # touching the model (core/quantize.py).
+        # int8 PTQ serving (core/quantize.py): the jaxpr transform
+        # quantizes every eligible conv/fc without touching the model.
+        # Closing over the weights folds them to int8 constants at trace
+        # time (4x less weight HBM); shard_eval keeps the quantized path
+        # multi-chip like the fp one.
         import jax
 
         from msml_tpu.core.quantize import quantize_fn
+        from msml_tpu.train.train_step import shard_eval
         variables = {"params": params, "batch_stats": stats}
 
         def fwd(x):
             feature, _ = model.apply(variables, x, train=False)
             return feature
 
-        raw = jax.jit(quantize_fn(fwd))
+        raw = shard_eval(jax.jit(quantize_fn(fwd)), mesh)
     else:
         eval_step = make_eval_step(model, mesh)
 

@@ -344,10 +344,25 @@ def make_eval_step(model, mesh: Mesh, quant: str = ""):
         from msml_tpu.core.quantize import quantize_fn
         fwd = quantize_fn(fwd)
     eval_step = jax.jit(fwd)
+
+    def bound(params, batch_stats, img):
+        return shard_eval(lambda x: eval_step(params, batch_stats, x),
+                          mesh)(img)
+
+    return bound
+
+
+def shard_eval(fn, mesh: Mesh):
+    """Wrap a jitted (img) -> features forward with the mesh pad-and-drop
+    discipline: any host batch size is zero-padded to a multiple of the
+    mesh, the batch axis is sharded over it, and the padding rows are
+    dropped from the result. Used by make_eval_step and the serving
+    runners (cli/serve.py) so every eval path — including quantized
+    closures — is multi-chip."""
     n = mesh_world(mesh)
     sharding = batch_sharding(mesh)
 
-    def bound(params, batch_stats, img):
+    def bound(img):
         b = img.shape[0]
         pad = (-b) % n
         if pad:
@@ -355,6 +370,6 @@ def make_eval_step(model, mesh: Mesh, quant: str = ""):
                 [jnp.asarray(img),
                  jnp.zeros((pad,) + tuple(img.shape[1:]), img.dtype)])
         img = jax.device_put(jnp.asarray(img), sharding)
-        return eval_step(params, batch_stats, img)[:b]
+        return fn(img)[:b]
 
     return bound
