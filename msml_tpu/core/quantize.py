@@ -1,10 +1,14 @@
 """Post-training int8 quantization (PTQ) of inference functions.
 
 TPU v5e executes s8 x s8 -> s32 matmuls/convs at twice the bf16 MXU rate
-(394 vs 197 TOPS), so a quantized eval forward is the cheapest 2x-class
-speedup available for the serving path. The reference has no quantization
-story at all (its eval scripts run fp32/AMP torch; `eval/qeval_mxnet.py`),
-so this is a beyond-parity capability.
+(394 vs 197 TOPS). On the flagship MSML graph the measured end-to-end
+effect is small (+3.4% at batch 128, -6.7% at 512 — PERF.md: the eval
+forward is HBM-bandwidth-bound at iresnet18's channel widths, and the
+dynamic quantize/dequant passes add traffic that offsets the MXU-rate
+win), so the durable value here is memory: int8 weight constants shrink
+the export artifact and the executable's weight HBM ~4x. The reference
+has no quantization story at all (its eval scripts run fp32/AMP torch;
+`eval/qeval_mxnet.py`), so this is a beyond-parity capability either way.
 
 Design — a jaxpr-level graph transform, not a module rewrite:
 
