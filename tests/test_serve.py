@@ -290,3 +290,29 @@ def test_metrics_endpoint_and_load_bench():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_shard_eval_pad_and_drop():
+    """shard_eval pads any host batch to the mesh multiple, shards, and
+    drops the padding rows (the serving-side mesh discipline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msml_tpu.core.mesh import make_mesh
+    from msml_tpu.train.train_step import shard_eval
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    seen = []
+
+    @jax.jit
+    def fn(x):
+        seen.append(x.shape[0])
+        return jnp.sum(x, axis=(1, 2, 3), keepdims=False)[:, None] * jnp.ones((1, 4))
+
+    bound = shard_eval(fn, mesh)
+    x = np.arange(3 * 2 * 2 * 3, dtype=np.float32).reshape(3, 2, 2, 3)
+    y = np.asarray(bound(x))
+    assert y.shape == (3, 4)
+    np.testing.assert_allclose(y[:, 0], x.sum(axis=(1, 2, 3)), rtol=1e-6)
+    assert seen[0] % n == 0 and seen[0] >= 3  # padded to a mesh multiple
