@@ -104,6 +104,11 @@ def main(variant: str = "flagship"):
     cfg = load_variant_config(variant)
     if os.environ.get("MSML_BATCH_OVERRIDE"):   # sweep hook, bench-only
         cfg.batch_size = int(os.environ["MSML_BATCH_OVERRIDE"])
+    if os.environ.get("MSML_REMAT_OVERRIDE"):   # sweep hook, bench-only:
+        # "false" | "true" | comma list of FRB stage numbers ("1,2")
+        r = os.environ["MSML_REMAT_OVERRIDE"]
+        cfg.remat = (r == "true" if r in ("true", "false")
+                     else tuple(int(s) for s in r.split(",")))
     scan_steps = int(os.environ.get("MSML_SCAN_STEPS", SCAN_STEPS))
     use_pfc = bool(cfg.get("use_partial_fc"))
     pfc = None

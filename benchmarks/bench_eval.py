@@ -45,6 +45,8 @@ v = {"params": v["params"], "batch_stats": v["batch_stats"]}
 
 
 QUANT = "int8" if "--quant" in sys.argv and "int8" in sys.argv else ""
+MIN_CONTRACT = (int(sys.argv[sys.argv.index("--min-contract") + 1])
+                if "--min-contract" in sys.argv else 64)
 
 
 def _fwd(img):
@@ -54,7 +56,7 @@ def _fwd(img):
 
 if QUANT == "int8":
     from msml_tpu.core.quantize import quantize_fn
-    fwd = jax.jit(quantize_fn(_fwd))
+    fwd = jax.jit(quantize_fn(_fwd, min_contract=MIN_CONTRACT))
 else:
     fwd = jax.jit(_fwd)
 
@@ -72,5 +74,7 @@ for _ in range(N):
 float(out[0, 0])
 dt = time.perf_counter() - t0
 suffix = f"_{QUANT}" if QUANT else ""
+if QUANT and MIN_CONTRACT != 64:
+    suffix += f"_mc{MIN_CONTRACT}"
 print(json.dumps({"metric": f"arc18_msml_eval_images_per_sec_b{B}{suffix}",
                   "value": round(N * B / dt, 2), "unit": "img/s"}))
