@@ -25,7 +25,15 @@ from msml_tpu.core.config import Config, config_init
 from msml_tpu.core.precision import DEFAULT_POLICY
 from msml_tpu.nn.msml import msml_from_config
 
-B = next((int(a) for a in sys.argv[1:] if a.isdigit()), 512)
+import argparse
+
+_ap = argparse.ArgumentParser(description="flagship eval-forward bench")
+_ap.add_argument("batch", nargs="?", type=int, default=512)
+_ap.add_argument("--quant", default="", choices=["", "int8"])
+_ap.add_argument("--min-contract", type=int, default=64,
+                 help="quantize only ops with reduction width >= this")
+_args = _ap.parse_args()
+B = _args.batch
 cfg = Config.from_dict({
     "dataset": "synthetic", "fp16": True, "batch_size": B,
     "frb_type": "iresnet18", "osb_type": "unet", "use_osb": True,
@@ -44,9 +52,8 @@ v = model.init({"params": rng, "dropout": rng}, x,
 v = {"params": v["params"], "batch_stats": v["batch_stats"]}
 
 
-QUANT = "int8" if "--quant" in sys.argv and "int8" in sys.argv else ""
-MIN_CONTRACT = (int(sys.argv[sys.argv.index("--min-contract") + 1])
-                if "--min-contract" in sys.argv else 64)
+QUANT = _args.quant
+MIN_CONTRACT = _args.min_contract
 
 
 def _fwd(img):

@@ -3,7 +3,8 @@
 Drives POST /embed_batch (or /embed with --single, exercising the dynamic
 batcher) from N concurrent connections for a fixed duration and reports
 throughput + latency percentiles — the serving numbers that matter for
-capacity planning. Standard library only.
+capacity planning. Needs only numpy (plus msml_tpu's image encoder in
+--single mode); the HTTP side is standard library.
 
 Usage:
   msml-serve --weight_folder out/arc18_msml_1 --port 8000 &
@@ -86,8 +87,9 @@ def run_load(url: str, concurrency: int, batch: int, duration: float,
         raise SystemExit(f"no successful requests ({n_err} errors)")
 
     def pct(p):
-        return round(float(lat[min(lat.size - 1,
-                                   int(p / 100.0 * lat.size))]) * 1e3, 2)
+        # nearest-rank percentile: ceil(p/100 * n) - 1 (0-based)
+        idx = max(0, -(-int(p * lat.size) // 100) - 1)
+        return round(float(lat[min(lat.size - 1, idx)]) * 1e3, 2)
 
     return {"requests": int(lat.size), "errors": int(n_err),
             "images_per_sec": round(lat.size * imgs_per_req / dt, 2),

@@ -104,11 +104,11 @@ class Metrics:
                 f"msml_queue_depth {self._queue_depth()}",
                 "# TYPE msml_request_latency_seconds histogram",
             ]
-            cum = 0
+            # observe_request stores the histogram cumulatively, which is
+            # exactly Prometheus's bucket semantics — emit as-is
             for edge, n in zip(self.LATENCY_BUCKETS, self.latency_hist):
-                cum = n  # buckets are stored cumulative already
                 lines.append('msml_request_latency_seconds_bucket'
-                             f'{{le="{edge}"}} {cum}')
+                             f'{{le="{edge}"}} {n}')
             lines.append('msml_request_latency_seconds_bucket{le="+Inf"} '
                          f"{self.latency_count}")
             lines.append("msml_request_latency_seconds_sum "
@@ -133,8 +133,10 @@ class Batcher:
         self._window = float(window_ms) / 1e3
         self._timeout = float(request_timeout)
         self._bucket_sizes = _buckets(self._max)
-        self.metrics = metrics
         self._q = queue.Queue()
+        # every batcher carries metrics (cheap, lock-guarded counters);
+        # GET /metrics renders them
+        self.metrics = metrics or Metrics(queue_depth=self._q.qsize)
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
 
@@ -234,22 +236,12 @@ def runner_from_weight_folder(weight_folder: str, quant: str = "",
     params, stats = state.params, state.batch_stats
 
     if quant == "int8":
-        # int8 PTQ serving (core/quantize.py): the jaxpr transform
-        # quantizes every eligible conv/fc without touching the model.
-        # Closing over the weights folds them to int8 constants at trace
-        # time (4x less weight HBM); shard_eval keeps the quantized path
-        # multi-chip like the fp one.
-        import jax
-
-        from msml_tpu.core.quantize import quantize_fn
-        from msml_tpu.train.train_step import shard_eval
-        variables = {"params": params, "batch_stats": stats}
-
-        def fwd(x):
-            feature, _ = model.apply(variables, x, train=False)
-            return feature
-
-        raw = shard_eval(jax.jit(quantize_fn(fwd)), mesh)
+        # int8 PTQ serving (core/quantize.py): weights are closed over so
+        # they fold to int8 constants at trace time (4x less weight HBM),
+        # and the quantized path stays multi-chip like the fp one.
+        from msml_tpu.train.train_step import make_quantized_eval_step
+        raw = make_quantized_eval_step(model, params, stats, mesh,
+                                       quant=quant)
     else:
         eval_step = make_eval_step(model, mesh)
 
@@ -339,6 +331,7 @@ def make_handler(runner: ModelRunner, batcher: Batcher):
                     y = batcher.run_padded(arr.astype(np.float32))
                     self._send(200, {"embeddings": y.tolist()})
                 else:
+                    err = True
                     self._send(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 - surface as 400
                 err = True
@@ -357,7 +350,6 @@ def build_server(runner: ModelRunner, host="127.0.0.1", port=0,
 
     batcher = Batcher(lambda x: runner.infer(x), max_batch=max_batch,
                       window_ms=window_ms, request_timeout=request_timeout)
-    batcher.metrics = Metrics(queue_depth=batcher._q.qsize)
     httpd = ThreadingHTTPServer((host, port),
                                 make_handler(runner, batcher))
     return httpd, batcher

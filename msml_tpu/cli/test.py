@@ -74,11 +74,20 @@ def main(args):
                 params=merge_into(host_p, p_in),
                 batch_stats=merge_into(jax.device_get(state.batch_stats),
                                        s_in))
-        eval_step = make_eval_step(model, mesh, quant=args.quant)
+        if args.quant:
+            from msml_tpu.train.train_step import make_quantized_eval_step
+            qstep = make_quantized_eval_step(model, state.params,
+                                             state.batch_stats, mesh,
+                                             quant=args.quant)
 
-        def extract_fn(img_np):
-            return eval_step(state.params, state.batch_stats,
-                             img_np.astype(np.float32))
+            def extract_fn(img_np):
+                return qstep(img_np.astype(np.float32))
+        else:
+            eval_step = make_eval_step(model, mesh)
+
+            def extract_fn(img_np):
+                return eval_step(state.params, state.batch_stats,
+                                 img_np.astype(np.float32))
 
     bin_path = args.bin or os.path.join(cfg.rec, args.dataset + ".bin")
 

@@ -323,46 +323,59 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     return bound_multi
 
 
-def make_eval_step(model, mesh: Mesh, quant: str = ""):
+def make_eval_step(model, mesh: Mesh):
     """Jitted feature extraction: (params, batch_stats, img) -> embeddings
     (the eval contract of `msml.py:173-174`).
 
     The batch is sharded over the mesh (the reference's nn.DataParallel
     eval analogue, qeval_mxnet.py:162) — callers may pass any host batch
     size; it is zero-padded up to a multiple of the mesh and the padding
-    rows are dropped from the returned features. quant="int8" applies the
-    PTQ graph transform (core/quantize.py): per-sample activation scales
-    make padded rows and re-batching bit-inert."""
+    rows are dropped from the returned features. For a quantized forward
+    use make_quantized_eval_step — the weights must be closed over (not
+    passed per call) for the int8 constant folding to happen."""
 
-    def fwd(params, batch_stats, img):
+    @jax.jit
+    def eval_step(params, batch_stats, img):
         feature, _ = model.apply({"params": params,
                                   "batch_stats": batch_stats},
                                  img, train=False)
         return feature
 
-    if quant == "int8":
-        from msml_tpu.core.quantize import quantize_fn
-        fwd = quantize_fn(fwd)
-    eval_step = jax.jit(fwd)
+    pad_shard = _pad_shard(mesh)
 
     def bound(params, batch_stats, img):
-        return shard_eval(lambda x: eval_step(params, batch_stats, x),
-                          mesh)(img)
+        return pad_shard(lambda x: eval_step(params, batch_stats, x), img)
 
     return bound
 
 
-def shard_eval(fn, mesh: Mesh):
-    """Wrap a jitted (img) -> features forward with the mesh pad-and-drop
-    discipline: any host batch size is zero-padded to a multiple of the
-    mesh, the batch axis is sharded over it, and the padding rows are
-    dropped from the result. Used by make_eval_step and the serving
-    runners (cli/serve.py) so every eval path — including quantized
-    closures — is multi-chip."""
+def make_quantized_eval_step(model, params, batch_stats, mesh: Mesh,
+                             quant: str = "int8"):
+    """PTQ eval forward: (img) -> embeddings with the same pad-and-drop
+    mesh discipline as make_eval_step. The weights are closed over so the
+    int8 transform (core/quantize.py) folds them to int8 constants at
+    trace time — passed per call they would be traced, staging per-batch
+    requantization instead. Per-sample activation scales make padded rows
+    and re-batching bit-inert."""
+    if quant != "int8":
+        raise ValueError(f"unknown quant mode {quant!r}")
+    from msml_tpu.core.quantize import quantize_fn
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def fwd(img):
+        feature, _ = model.apply(variables, img, train=False)
+        return feature
+
+    return shard_eval(jax.jit(quantize_fn(fwd)), mesh)
+
+
+def _pad_shard(mesh: Mesh):
+    """(fn, img) -> fn(padded+sharded img) minus the padding rows; the
+    sharding objects are built once per mesh, not per batch."""
     n = mesh_world(mesh)
     sharding = batch_sharding(mesh)
 
-    def bound(img):
+    def run(fn, img):
         b = img.shape[0]
         pad = (-b) % n
         if pad:
@@ -371,5 +384,20 @@ def shard_eval(fn, mesh: Mesh):
                  jnp.zeros((pad,) + tuple(img.shape[1:]), img.dtype)])
         img = jax.device_put(jnp.asarray(img), sharding)
         return fn(img)[:b]
+
+    return run
+
+
+def shard_eval(fn, mesh: Mesh):
+    """Wrap a jitted (img) -> features forward with the mesh pad-and-drop
+    discipline: any host batch size is zero-padded to a multiple of the
+    mesh, the batch axis is sharded over it, and the padding rows are
+    dropped from the result. Used by the eval-step builders above and the
+    serving runners (cli/serve.py) so every eval path — including
+    quantized closures — is multi-chip."""
+    run = _pad_shard(mesh)
+
+    def bound(img):
+        return run(fn, img)
 
     return bound
