@@ -283,6 +283,25 @@ class FaceByRandOccMask:
             (self.seed * 1000003 + epoch * 10007 + int(i)) % (2 ** 31 - 1))
         return self.__getitem__(int(i), r)
 
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        """Shuffled per-epoch sample order (DistributedSampler.set_epoch
+        analogue): same shuffle on every process (seeded), disjoint
+        interleaved slices per rank, incl. torch's wrap-around padding to a
+        multiple of num_shards — without it, ranks can disagree on
+        batches-per-epoch and hang the pod at the epoch boundary waiting for
+        each other's SPMD launches."""
+        order_rng = np.random.RandomState(self.seed + epoch)
+        order = order_rng.permutation(len(self))
+        if self.num_shards > 1:
+            pad = (-len(order)) % self.num_shards
+            if pad:
+                # np.resize tiles cyclically, so this also covers
+                # pad > len(order) (num_shards >> dataset size), like
+                # DistributedSampler's repeated-indices padding
+                order = np.resize(order, len(order) + pad)
+            order = order[self.shard_id::self.num_shards]
+        return order
+
     # -------------------------------------------------------------- batches
     def epoch(self, epoch: int, use_processes: bool = False
               ) -> Iterator[dict]:
@@ -297,21 +316,7 @@ class FaceByRandOccMask:
         the pool is created once and reused across epochs (call close()
         when done)."""
         assert self.batch_size > 0, "set batch_size for epoch iteration"
-        order_rng = np.random.RandomState(self.seed + epoch)
-        order = order_rng.permutation(len(self))
-        if self.num_shards > 1:
-            # same shuffle on every process (seeded), disjoint interleaved
-            # slices per rank — torch DistributedSampler semantics, incl.
-            # its wrap-around padding to a multiple of num_shards: without
-            # it, ranks can disagree on batches-per-epoch and hang the pod
-            # at the epoch boundary waiting for each other's SPMD launches
-            pad = (-len(order)) % self.num_shards
-            if pad:
-                # np.resize tiles cyclically, so this also covers
-                # pad > len(order) (num_shards >> dataset size), like
-                # DistributedSampler's repeated-indices padding
-                order = np.resize(order, len(order) + pad)
-            order = order[self.shard_id::self.num_shards]
+        order = self._epoch_order(epoch)
         nb = len(order) // self.batch_size
 
         if use_processes:
@@ -360,12 +365,106 @@ class MXFaceDataset(FaceByRandOccMask):
     flip / normalize ONLY — no occlusion and no Gaussian relighting (the
     reference's plain class applies neither). Yields the same 4-tuple
     contract with an all-clean mask; ori mirrors img (flipped together,
-    like the reference flips everything it returns)."""
+    like the reference flips everything it returns).
 
-    def __init__(self, root_dir: str, **kw):
+    When the native loader (tools_cpp/msml_loader.cpp) is built, epoch()
+    decodes whole batches on a C++ thread pool — mmap'd recordio + libjpeg,
+    bit-identical pixels to the cv2 path — and applies flip/normalize
+    vectorized, with the SAME per-sample flip RNG as the Python path
+    (exactness tested in tests/test_native_loader.py). The reference reads
+    through mxnet's C++ recordio + OpenCV behind a torch DataLoader
+    (load_dataset.py:39-48, train.py:96-99); this is the TPU-host analogue
+    without worker processes. native_decode: True forces it (raises if
+    unavailable), None auto-enables, False keeps the Python path. Falls back
+    when the rec images are not already at out_size (the C++ resize is
+    cv2-convention, not PIL)."""
+
+    def __init__(self, root_dir: str, native_decode: Optional[bool] = None,
+                 **kw):
         kw.setdefault("use_norm", True)
         kw.setdefault("gauss_light", False)
         super().__init__(root_dir, occ=False, **kw)
+        self._native = None
+        if native_decode is False:
+            return
+        try:
+            from msml_tpu.data import native_loader
+            if not native_loader.available():
+                raise RuntimeError("libmsml_loader.so not built")
+            first_key = int(self.img_idx[0])
+            _, raw = unpack(self.img_rec.read_idx(first_key))
+            probe = native_loader.decode_jpeg(raw)
+            if probe is None or probe.shape[:2] != self.out_size:
+                raise RuntimeError(
+                    f"rec images are {None if probe is None else probe.shape}"
+                    f", not out_size {self.out_size}: PIL-resize parity needs"
+                    " the Python path")
+            self._native = native_loader.NativeRecordReader(
+                os.path.join(root_dir, "train.idx"),
+                os.path.join(root_dir, "train.rec"),
+                nthreads=self.num_workers)
+        except Exception as e:
+            if native_decode:
+                raise
+            logger.info("native loader disabled (%s); Python path", e)
+
+    def epoch(self, epoch: int, use_processes: bool = False):
+        if self._native is None:
+            yield from super().epoch(epoch, use_processes)
+            return
+        yield from self._epoch_native(epoch)
+
+    def _flip_draws(self, epoch: int, idxs: np.ndarray) -> np.ndarray:
+        """The Python path's per-sample flip decision (P(flip) from
+        r.randint(1, 11) >= 5 on the _fetch per-sample RandomState),
+        reproduced exactly so both backends yield identical batches."""
+        out = np.empty(len(idxs), bool)
+        for j, i in enumerate(idxs):
+            r = np.random.RandomState(
+                (self.seed * 1000003 + epoch * 10007 + int(i))
+                % (2 ** 31 - 1))
+            out[j] = r.randint(1, 11) >= 5
+        return out
+
+    def _epoch_native(self, epoch: int):
+        assert self.batch_size > 0, "set batch_size for epoch iteration"
+        order = self._epoch_order(epoch)
+        nb = len(order) // self.batch_size
+        h, w = self.out_size
+        for b in range(nb):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            keys = self.img_idx[idxs].astype(np.int64)
+            imgs, labels = self._native.decode_batch(keys, self.out_size)
+            flips = self._flip_draws(epoch, idxs)
+            imgs[flips] = imgs[flips, :, ::-1]
+            if self.is_gray:
+                img_t = pil_gray_u8(imgs).astype(np.float32)[..., None] / 255.0
+            else:
+                img_t = imgs.astype(np.float32) / 255.0
+            if self.use_norm:
+                img_t = (img_t - 0.5) / 0.5
+            batch = {"img": img_t,
+                     "msk": np.ones((len(idxs), h, w), np.int32),
+                     "label": labels.astype(np.int32)}
+            if self.use_ori:
+                batch["ori"] = img_t
+            yield batch
+
+    def close(self):
+        super().close()
+        if getattr(self, "_native", None) is not None:
+            self._native.close()
+            self._native = None
+
+
+def pil_gray_u8(rgb: np.ndarray) -> np.ndarray:
+    """PIL Image.convert('L') exactly (integer ITU-R 601-2:
+    L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16), vectorized."""
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    bch = rgb[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + bch * 7471 + 0x8000) >> 16).astype(
+        np.uint8)
 
 
 def gauss_map(left_top_x: int, left_top_y: int, right_down_x: int,

@@ -85,6 +85,10 @@ def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2,
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
     err: list = []
+    # Bound now because the generator's finally-block can run from the GC
+    # finalizer at interpreter shutdown, after module globals (the `queue`
+    # module ref) have been torn down.
+    empty_exc = queue.Empty
 
     def _enqueue(item) -> bool:
         while not stop.is_set():
@@ -126,5 +130,5 @@ def device_prefetch(it: Iterator, mesh: Mesh, depth: int = 2,
         try:
             while True:
                 q.get_nowait()
-        except queue.Empty:
+        except empty_exc:
             pass
