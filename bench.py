@@ -109,6 +109,9 @@ def main(variant: str = "flagship"):
         r = os.environ["MSML_REMAT_OVERRIDE"]
         cfg.remat = (r == "true" if r in ("true", "false")
                      else tuple(int(s) for s in r.split(",")))
+    if os.environ.get("MSML_DEVICE_LIGHT"):     # sweep hook, bench-only:
+        # uint8 inputs + in-step relight/normalize (device_light mode)
+        cfg.device_light = os.environ["MSML_DEVICE_LIGHT"] == "1"
     scan_steps = int(os.environ.get("MSML_SCAN_STEPS", SCAN_STEPS))
     use_pfc = bool(cfg.get("use_partial_fc"))
     pfc = None
@@ -134,7 +137,8 @@ def main(variant: str = "flagship"):
     batch_per_chip = int(cfg.batch_size)
     global_batch = batch_per_chip * n
     batch = synthetic_batch(global_batch, size=cfg.out_size[0],
-                            num_classes=cfg.num_classes)
+                            num_classes=cfg.num_classes,
+                            uint8=bool(cfg.get("device_light")))
     if not cfg.peer_params.get("use_ori"):
         del batch["ori"]
     batch = jax.tree.map(lambda x: np.broadcast_to(

@@ -40,12 +40,13 @@ def build_dataset(cfg, args, local_world: int):
     pods each process reads a disjoint shard (DistributedSampler analogue,
     reference train.py:94-95)."""
     shard_id, num_shards = jax.process_index(), jax.process_count()
+    device_light = bool(cfg.get("device_light"))
     if cfg.dataset == "synthetic" or not cfg.rec:
         return SyntheticDataset(
             batch_size=cfg.batch_size * local_world,
             steps_per_epoch=args.steps or 100,
             size=cfg.out_size[0], channels=1 if cfg.is_gray else 3,
-            num_classes=cfg.num_classes,
+            num_classes=cfg.num_classes, uint8=device_light,
             shard_id=shard_id, num_shards=num_shards)
     from msml_tpu.data.face_dataset import FaceByRandOccMask
     return FaceByRandOccMask(
@@ -54,6 +55,8 @@ def build_dataset(cfg, args, local_world: int):
         use_ori=bool(cfg.peer_params.get("use_ori")), occ=bool(args.occ),
         occluder_root=cfg.get("occluder_root") or None,
         num_workers=int(cfg.get("nw", 32)) or 32, seed=args.seed,
+        gauss_light=bool(cfg.get("gauss_light", True)),
+        raw_uint8=device_light,
         shard_id=shard_id, num_shards=num_shards)
 
 

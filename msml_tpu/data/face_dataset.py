@@ -72,7 +72,8 @@ class FaceByRandOccMask:
                  occluder_root: Optional[str] = None, occ: bool = True,
                  batch_size: int = 0, seed: int = 0,
                  num_workers: int = 16, shard_id: int = 0,
-                 num_shards: int = 1, gauss_light: bool = True):
+                 num_shards: int = 1, gauss_light: bool = True,
+                 raw_uint8: bool = False):
         self.root_dir = root_dir
         self.out_size = tuple(out_size)
         self.is_gray = is_gray
@@ -80,6 +81,15 @@ class FaceByRandOccMask:
         self.use_ori = use_ori
         self.use_occ = occ
         self.gauss_light = gauss_light
+        # TPU fast path (device_light mode): __getitem__ stops after the u8
+        # stages (decode + occlusion + resize + flip) and yields uint8; the
+        # Gaussian relighting + normalize run INSIDE the jitted train step
+        # (kernels/augment.device_input_stage) — 4x smaller host->device
+        # transfer and no per-sample float work on the host. The 3D-mask
+        # branch's extra mask-region relighting (trans_type jitter,
+        # _add_gauss_to_mask) is skipped in this mode — documented
+        # distribution deviation, like the on-device sweep kernel.
+        self.raw_uint8 = raw_uint8
         self.batch_size = batch_size  # per-process batch
         self.seed = seed
         self.num_workers = num_workers
@@ -169,6 +179,23 @@ class FaceByRandOccMask:
             msk = msk.transpose(Image.FLIP_LEFT_RIGHT)
             if ori is not None:
                 ori = ori.transpose(Image.FLIP_LEFT_RIGHT)
+
+        if self.raw_uint8:
+            img_a = np.asarray(img, np.uint8)
+            if img_a.ndim == 2:
+                img_a = img_a[..., None]
+            m = np.asarray(msk, np.uint8)
+            if mask_flag:  # 3D-mask threshold (load_dataset.py:241-242,277)
+                msk_t = (m > 128).astype(np.int32)
+            else:
+                msk_t = (m // 255).astype(np.int32)
+            if ori is not None:
+                ori_a = np.asarray(ori, np.uint8)
+                if ori_a.ndim == 2:
+                    ori_a = ori_a[..., None]
+            else:
+                ori_a = img_a
+            return img_a, msk_t, ori_a, np.int32(label)
 
         if self.gauss_light:
             img_t = self._add_gauss_to_face(img, r)    # HWC [0,1] f32
@@ -437,11 +464,14 @@ class MXFaceDataset(FaceByRandOccMask):
             imgs, labels = self._native.decode_batch(keys, self.out_size)
             flips = self._flip_draws(epoch, idxs)
             imgs[flips] = imgs[flips, :, ::-1]
-            if self.is_gray:
+            if self.raw_uint8:  # device_light: /255 + normalize run in-step
+                img_t = (pil_gray_u8(imgs)[..., None] if self.is_gray
+                         else imgs)
+            elif self.is_gray:
                 img_t = pil_gray_u8(imgs).astype(np.float32)[..., None] / 255.0
             else:
                 img_t = imgs.astype(np.float32) / 255.0
-            if self.use_norm:
+            if self.use_norm and not self.raw_uint8:
                 img_t = (img_t - 0.5) / 0.5
             batch = {"img": img_t,
                      "msk": np.ones((len(idxs), h, w), np.int32),

@@ -24,6 +24,25 @@ import numpy as np
 
 
 # --------------------------------------------------------------- jnp stage
+def device_input_stage(img: jnp.ndarray, rng: jax.Array,
+                       gauss_light: bool = True,
+                       use_norm: bool = True) -> jnp.ndarray:
+    """Training-input stage for `device_light` mode: uint8 HWC batch ->
+    normalized float input, fused into the jitted train step.
+
+    Mirrors the host float path (`FaceByRandOccMask._add_gauss_to_face` +
+    use_norm, reference load_dataset.py:118-127,183-201): /255, Gaussian
+    relighting (same parameter distributions; the PRNG stream itself is the
+    device stream — documented deviation), (x - 0.5) / 0.5. The host then
+    only decodes/occludes/flips uint8 — 4x smaller host->device transfer."""
+    x = img.astype(jnp.float32) / 255.0
+    if gauss_light:
+        x = device_gauss_light(x, rng)
+    if use_norm:
+        x = (x - 0.5) / 0.5
+    return x
+
+
 def device_gauss_light(img: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     """Batch relighting (load_dataset.py:183-201): light = scale *
     exp(-0.5 d^2 / r^2) with random center, r = 128, scale ~ U[0.7, 1.4];

@@ -112,6 +112,13 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
     # kd_loss_weight > 0 makes it a real loss term (capability the paper
     # intends); 0.0 keeps reference behavior.
     kd_weight = float(cfg.get("kd_loss_weight", 0.0))
+    # device_light mode: batches arrive uint8 (host stops after decode +
+    # occlusion + flip); /255 + Gaussian relighting + normalize run here,
+    # inside the jitted step (kernels/augment.device_input_stage) — 4x
+    # smaller host->device transfer, no per-sample float work on the host
+    device_light = bool(cfg.get("device_light"))
+    dl_gauss = bool(cfg.get("gauss_light", True))
+    dl_norm = bool(cfg.use_norm)
     clip_norm = float(cfg.grad_clip_norm)
     wd = float(cfg.weight_decay)
     momentum_coef = float(cfg.momentum)
@@ -150,6 +157,13 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                                      state.step)
         img, label = batch["img"], batch["label"]
         ori = batch["ori"] if use_ori else None
+        if device_light:
+            from msml_tpu.kernels.augment import device_input_stage
+            img = device_input_stage(img, jax.random.fold_in(step_rng, 0xD11),
+                                     gauss_light=dl_gauss, use_norm=dl_norm)
+            if ori is not None:  # host never relights ori (load_dataset 114)
+                ori = device_input_stage(ori, step_rng, gauss_light=False,
+                                         use_norm=dl_norm)
         global_b = img.shape[0] * world_total
 
         if use_pfc_rows:

@@ -168,3 +168,36 @@ def test_mxfacedataset_native_falls_back_on_size_mismatch(tmp_path):
     assert ds._native is None
     with pytest.raises(RuntimeError):
         MXFaceDataset(root, batch_size=2, native_decode=True)
+
+
+def test_mxfacedataset_native_raw_uint8(tmp_path):
+    """device_light mode through the native loader: raw_uint8=True yields
+    uint8 batches equal to the float path pushed through /255 + normalize,
+    RGB and gray."""
+    from msml_tpu.data.face_dataset import MXFaceDataset
+    from msml_tpu.data.recordio import IRHeader, IndexedRecordIO, imencode, pack
+
+    root = str(tmp_path / "rec_u8")
+    os.makedirs(root)
+    rng = np.random.RandomState(5)
+    w = IndexedRecordIO(os.path.join(root, "train.idx"),
+                        os.path.join(root, "train.rec"), "w")
+    w.write_idx(0, pack(IRHeader(2, [17.0, 4.0], 1, 0), b""))
+    for i in range(1, 17):
+        img = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
+        w.write_idx(i, pack(IRHeader(0, float(i % 4), 0, 0), imencode(img)))
+    w.close()
+
+    for gray in (False, True):
+        a = MXFaceDataset(root, batch_size=8, native_decode=True,
+                          is_gray=gray, raw_uint8=True)
+        b = MXFaceDataset(root, batch_size=8, native_decode=True,
+                          is_gray=gray)
+        assert a._native is not None and b._native is not None
+        for ba, bb in zip(a.epoch(0), b.epoch(0)):
+            assert ba["img"].dtype == np.uint8
+            np.testing.assert_array_equal(
+                (ba["img"].astype(np.float32) / 255.0 - 0.5) / 0.5,
+                bb["img"], err_msg=f"gray={gray}")
+            np.testing.assert_array_equal(ba["label"], bb["label"])
+        a.close(), b.close()
