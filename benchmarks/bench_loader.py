@@ -105,6 +105,29 @@ def main():
         results["e2e_speedup"] = round(
             results["native_plain_reader_img_s"]
             / results["py_plain_reader_img_s"], 2)
+
+    # ---- full training loader (FaceByRandOccMask, occlusion on):
+    # host float path vs device_light (raw_uint8 — relight/normalize move
+    # into the jitted step), single worker = per-core cost ----
+    from msml_tpu.data.face_dataset import FaceByRandOccMask
+
+    def train_loader(raw_uint8: bool) -> float:
+        ds = FaceByRandOccMask(
+            root, batch_size=128, occluder_root="/nonexistent",
+            use_ori=False, num_workers=1, raw_uint8=raw_uint8)
+        def run():
+            for _ in ds.epoch(0):
+                pass
+        n_imgs = (len(ds) // 128) * 128
+        v = rate(run, n_imgs)
+        ds.close()
+        return round(v, 1)
+
+    results["train_loader_f32_1t_img_s"] = train_loader(False)
+    results["train_loader_u8_1t_img_s"] = train_loader(True)
+    results["device_light_speedup"] = round(
+        results["train_loader_u8_1t_img_s"]
+        / results["train_loader_f32_1t_img_s"], 2)
     print(json.dumps(results))
 
 
