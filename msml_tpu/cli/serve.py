@@ -228,14 +228,32 @@ class ModelRunner:
 
 
 def runner_from_weight_folder(weight_folder: str, quant: str = "",
-                              **policy) -> ModelRunner:
+                              spatial: int = 1, **policy) -> ModelRunner:
     from msml_tpu.core.weight_folder import load_weight_folder
     from msml_tpu.train.train_step import make_eval_step
 
-    cfg, model, state, mesh, _ = load_weight_folder(weight_folder)
+    if spatial > 1 and quant:
+        raise SystemExit("--spatial and --quant cannot combine yet: "
+                         "the int8 transform closes over a jitted "
+                         "unsharded forward")
+    mesh = None
+    if spatial > 1:
+        # GSPMD spatial partitioning (core/spatial.py): shard the image
+        # height over `spatial` chips per replica — the batch-1 latency
+        # lever; XLA inserts the conv halo exchanges
+        from msml_tpu.core.spatial import make_spatial_mesh
+        mesh = make_spatial_mesh(spatial)
+    cfg, model, state, mesh, _ = load_weight_folder(weight_folder,
+                                                    mesh=mesh)
     params, stats = state.params, state.batch_stats
 
-    if quant == "int8":
+    if spatial > 1:
+        from msml_tpu.core.spatial import make_spatial_eval_step
+        sp_step = make_spatial_eval_step(model, mesh)
+
+        def raw(x):
+            return sp_step(params, stats, x)
+    elif quant == "int8":
         # int8 PTQ serving (core/quantize.py): weights are closed over so
         # they fold to int8 constants at trace time (4x less weight HBM),
         # and the quantized path stays multi-chip like the fp one.
@@ -253,7 +271,8 @@ def runner_from_weight_folder(weight_folder: str, quant: str = "",
         cfg.get("use_norm", True),
         meta={"source": weight_folder, "network": cfg.frb_type,
               "dim": int(cfg.dim_feature),
-              **({"quant": quant} if quant else {})}, **policy)
+              **({"quant": quant} if quant else {}),
+              **({"spatial": spatial} if spatial > 1 else {})}, **policy)
 
 
 def runner_from_artifact(path: str, **policy) -> ModelRunner:
@@ -369,10 +388,14 @@ def main(args):
             raise SystemExit("--quant applies to --weight_folder serving; "
                              "for artifacts, export with "
                              "export_serving --quant int8 instead")
+        if args.spatial > 1:
+            raise SystemExit("--spatial applies to --weight_folder serving"
+                             " (artifacts bake in their own sharding)")
         runner = runner_from_artifact(args.artifact, **policy)
     else:
         runner = runner_from_weight_folder(args.weight_folder,
-                                           quant=args.quant, **policy)
+                                           quant=args.quant,
+                                           spatial=args.spatial, **policy)
 
     # warm the bucket executables so the first request isn't a compile
     if args.warmup:
@@ -412,6 +435,10 @@ def parse_args(argv=None):
                    help="post-training quantization of the serving "
                         "forward (int8: 2x MXU rate on v5e)")
     p.add_argument("--platform", default="")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="GSPMD spatial partitioning: shard the image "
+                        "height over N chips per replica (batch-1 latency "
+                        "lever; device count must divide by N)")
     return p.parse_args(argv)
 
 

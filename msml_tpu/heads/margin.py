@@ -25,9 +25,18 @@ from flax import linen as nn
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch.nn.functional.normalize parity: x / max(||x||, eps)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    """torch.nn.functional.normalize parity: x / max(||x||, eps).
+
+    The clamp sits INSIDE the sqrt: values are identical (sqrt is
+    monotone), but `x / maximum(linalg.norm(x), eps)` has a NaN gradient
+    at x = 0 in JAX — d(sqrt)/du is inf at 0 and the chain rule's 0 * inf
+    poisons the whole backward pass (per-device batch 1 makes the feature
+    BN emit exactly the zero vector, which fed this). torch's norm defines
+    a zero subgradient at 0, so the reference trains through it; clamping
+    under the sqrt reproduces that (the maximum routes zero gradient to
+    the sum-of-squares branch)."""
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def cosine_logits(embedding: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:

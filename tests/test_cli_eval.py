@@ -136,3 +136,22 @@ def test_cli_embed(weight_folder, tmp_path):
     np.testing.assert_array_equal(saved, feats)
     manifest = open(out + ".names.txt").read().split()
     assert manifest == names
+
+
+@pytest.mark.slow
+def test_serve_spatial_runner_matches_plain(weight_folder):
+    """runner_from_weight_folder(spatial=2) — the GSPMD spatial-partitioned
+    serving forward — returns the same embeddings as the plain runner."""
+    from msml_tpu.cli.serve import runner_from_weight_folder
+
+    plain = runner_from_weight_folder(weight_folder, flip=False,
+                                      l2_norm=False)
+    sp = runner_from_weight_folder(weight_folder, spatial=2, flip=False,
+                                   l2_norm=False)
+    assert sp.meta["spatial"] == 2
+    x = np.random.RandomState(0).randn(3, 112, 112, 3).astype(np.float32)
+    a, b = plain.infer(x), sp.infer(x)
+    assert a.shape == b.shape == (3, 512)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.999999, cos

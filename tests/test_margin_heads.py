@@ -88,3 +88,24 @@ def test_cosine_logits_matches_torch_linear_normalize():
                     F.normalize(torch.from_numpy(w))).numpy()
     got = np.asarray(cosine_logits(emb, w))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_l2_normalize_zero_vector_gradient_finite():
+    """torch F.normalize parity at the degenerate point: a zero embedding
+    (per-device batch 1 makes the feature BN emit exactly zero) must give
+    finite gradients, like torch's zero subgradient of norm at 0 — the
+    naive maximum(norm, eps) form NaNs in JAX (0 * inf chain rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msml_tpu.heads.margin import l2_normalize
+
+    x = jnp.zeros((3, 8), jnp.float32)
+    g = jax.grad(lambda v: l2_normalize(v).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # and values away from 0 are unchanged vs the definition
+    y = jnp.asarray(np.random.RandomState(0).randn(4, 8), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(l2_normalize(y)),
+        np.asarray(y) / np.linalg.norm(y, axis=-1, keepdims=True),
+        rtol=1e-6)

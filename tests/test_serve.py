@@ -316,3 +316,19 @@ def test_shard_eval_pad_and_drop():
     assert y.shape == (3, 4)
     np.testing.assert_allclose(y[:, 0], x.sum(axis=(1, 2, 3)), rtol=1e-6)
     assert seen[0] % n == 0 and seen[0] >= 3  # padded to a mesh multiple
+
+
+def test_spatial_flag_rejected_for_artifacts():
+    from msml_tpu.cli import serve
+
+    args = serve.parse_args(["--artifact", "m.stablehlo", "--spatial", "2",
+                             "--no-warmup"])
+    with pytest.raises(SystemExit):
+        serve.main(args)
+
+
+def test_spatial_plus_quant_rejected():
+    from msml_tpu.cli.serve import runner_from_weight_folder
+
+    with pytest.raises(SystemExit):
+        runner_from_weight_folder("/nonexistent", quant="int8", spatial=2)
