@@ -93,6 +93,7 @@ def _dense_oracle(w, feats, labels, eps=0.1):
     return -(t * logp).sum(-1).mean()
 
 
+@pytest.mark.slow
 def test_pfc_multislice_loss_and_grads_match_dense():
     """Dense PFC on the 2x4 mesh (class shard on "data", replicated over
     "slice", per-slice CE pmean'd) == full-batch dense oracle; gradients
@@ -127,6 +128,7 @@ def test_pfc_multislice_loss_and_grads_match_dense():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pfc_multislice_sampling_slice_consistent():
     """Sampled PFC across slices: every slice replica of a class shard
     selects the IDENTICAL subset (required for the replicated weight to

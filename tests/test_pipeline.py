@@ -1,0 +1,88 @@
+"""Pipeline parallelism (core/pipeline.py): GPipe-style streaming of a
+homogeneous block stack over a 'pipe' mesh axis must equal folding the
+blocks sequentially — for a toy conv block and for real iResNet
+IBasicBlocks (the 14^2 x 256 stage-3 shape that iResNet-100 has 30 of,
+reference backbones/frb/iresnet.py:241-363)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msml_tpu.core.pipeline import (PIPE_AXIS, make_pipe_mesh,
+                                    pipeline_apply, stack_block_params)
+
+
+def _toy_block(p, x):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.maximum(y + p["b"], 0.1 * (y + p["b"]))
+
+
+@pytest.mark.parametrize("n_stages,microbatches", [(2, 4), (4, 2), (8, 8),
+                                                   (4, 1)])
+def test_pipeline_matches_sequential_toy(n_stages, microbatches):
+    rng = np.random.RandomState(0)
+    L, C = 8, 16
+    blocks = [{"w": jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32)
+                                * 0.1),
+               "b": jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)}
+              for _ in range(L)]
+    x = jnp.asarray(rng.randn(8, 14, 14, C).astype(np.float32))
+    ref = x
+    for p in blocks:
+        ref = _toy_block(p, ref)
+    out = pipeline_apply(_toy_block, stack_block_params(blocks), x,
+                         make_pipe_mesh(n_stages),
+                         microbatches=microbatches)
+    # identical math in identical order per microbatch -> bit-exact
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pipeline_real_iresnet_blocks():
+    """Six real IBasicBlocks (stride 1, eval mode) pipelined over 2 and 4
+    stages == the sequential fold."""
+    from msml_tpu.nn.iresnet import IBasicBlock
+
+    block = IBasicBlock(planes=64, stride=1, use_downsample=False)
+    rng = np.random.RandomState(1)
+    x0 = jnp.asarray(rng.randn(4, 14, 14, 64).astype(np.float32))
+    variables = [block.init(jax.random.PRNGKey(i), x0, train=True)
+                 for i in range(8)]
+    # give the running stats non-trivial values (init is mean 0 / var 1)
+    variables = [jax.tree.map(
+        lambda a, _=i: a + 0.01 * (_ + 1) * jnp.abs(a).mean(), v)
+        for i, v in enumerate(variables)]
+
+    def block_fn(v, x):
+        return block.apply(v, x, train=False)
+
+    ref = x0
+    for v in variables:
+        ref = block_fn(v, ref)
+    stacked = stack_block_params(variables)
+    for n_stages in (2, 4):
+        out = pipeline_apply(block_fn, stacked, x0,
+                             make_pipe_mesh(n_stages), microbatches=2)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pipeline_validation():
+    mesh = make_pipe_mesh(4)
+    assert mesh.axis_names == (PIPE_AXIS,)
+    blocks = stack_block_params(
+        [{"w": jnp.zeros((3, 3, 4, 4)), "b": jnp.zeros((4,))}
+         for _ in range(6)])
+    x = jnp.zeros((4, 8, 8, 4))
+    with pytest.raises(ValueError):  # 6 blocks over 4 stages
+        pipeline_apply(_toy_block, blocks, x, mesh, microbatches=2)
+    with pytest.raises(ValueError):  # batch 4 over 3 microbatches
+        pipeline_apply(_toy_block, jax.tree.map(
+            lambda a: jnp.concatenate([a, a]), blocks), x, mesh,
+            microbatches=3)
+    with pytest.raises(ValueError):  # no pipe axis
+        from msml_tpu.core.mesh import make_mesh
+        pipeline_apply(_toy_block, blocks, x, make_mesh(), microbatches=2)
+    with pytest.raises(ValueError):  # 8 devices % 3
+        make_pipe_mesh(3)
