@@ -233,9 +233,9 @@ def runner_from_weight_folder(weight_folder: str, quant: str = "",
     from msml_tpu.train.train_step import make_eval_step
 
     if spatial > 1 and quant:
-        raise SystemExit("--spatial and --quant cannot combine yet: "
-                         "the int8 transform closes over a jitted "
-                         "unsharded forward")
+        raise SystemExit("--spatial and --quant cannot combine: XLA's "
+                         "SPMD partitioner mispads int8 conv halos "
+                         "(see core/spatial.py NOTE)")
     mesh = None
     if spatial > 1:
         # GSPMD spatial partitioning (core/spatial.py): shard the image

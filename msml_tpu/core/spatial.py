@@ -79,3 +79,14 @@ def make_spatial_eval_step(model, mesh: Mesh):
         return eval_step(params, batch_stats, img)[:b]
 
     return bound
+
+
+# NOTE — int8 (core/quantize.py) + spatial partitioning do NOT compose
+# today: the quantized graph is shape-wise just another traceable function
+# of img and its numerics are even sharding-invariant (max-reduction
+# scales, exact int32 accumulation), but XLA's SPMD partitioner emits a
+# mixed-dtype `pad` when building the halo regions of an s8 convolution
+# ("element types of the operands to Pad do not match", hlo verifier,
+# post spmd-partitioning) — an XLA limitation, reproduced on the flagship
+# eval graph at P("data", "spatial"). cli/serve.py therefore rejects
+# --spatial together with --quant.
