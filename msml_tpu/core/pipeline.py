@@ -41,9 +41,10 @@ PIPE_AXIS = "pipe"
 
 def make_pipe_mesh(n_stages: int, devices=None) -> Mesh:
     devices = list(jax.devices() if devices is None else devices)
-    if n_stages < 1 or len(devices) % n_stages:
+    if n_stages < 1 or len(devices) < n_stages:
         raise ValueError(
-            f"{len(devices)} devices not divisible by n_stages={n_stages}")
+            f"need 1 <= n_stages <= {len(devices)} available devices, "
+            f"got n_stages={n_stages}")
     return Mesh(np.asarray(devices[:n_stages]), (PIPE_AXIS,))
 
 
@@ -54,15 +55,20 @@ def stack_block_params(block_params: list):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *block_params)
 
 
-def pipeline_apply(block_fn: Callable, stacked_params, x: jnp.ndarray,
-                   mesh: Mesh, microbatches: int):
-    """Run ``x`` through L = stacked_params.shape[0] homogeneous blocks,
-    pipelined over the mesh's ``pipe`` axis.
+def make_pipeline_apply(block_fn: Callable, stacked_params, mesh: Mesh,
+                        microbatches: int) -> Callable:
+    """Factory for the pipelined forward: shards the stacked block params
+    over the ``pipe`` axis ONCE and returns a jitted ``apply(x)`` that
+    reuses the compiled executable across calls — the shape a serving loop
+    needs (the whole point of pipelining is repeated forwards of a model
+    whose weights exceed one chip's HBM; recompiling + re-sharding per
+    request would dominate wall-clock).
 
     block_fn(params_one_block, y) -> y' must preserve y's shape/dtype.
-    L must divide by the stage count S; the batch must divide by
-    ``microbatches`` (M >= S keeps the bubble fraction at (S-1)/(M+S-1)).
-    Returns exactly ``block_fn`` folded L times over x (tested equal)."""
+    The block count L must divide by the stage count S; each ``x``'s batch
+    must divide by ``microbatches`` (M >= S keeps the bubble fraction at
+    (S-1)/(M+S-1)). apply(x) returns exactly ``block_fn`` folded L times
+    over x (tested equal)."""
     if PIPE_AXIS not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no '{PIPE_AXIS}' "
                          f"axis: use make_pipe_mesh")
@@ -71,14 +77,7 @@ def pipeline_apply(block_fn: Callable, stacked_params, x: jnp.ndarray,
     if n_blocks % n_stages:
         raise ValueError(f"{n_blocks} blocks not divisible by "
                          f"{n_stages} pipeline stages")
-    batch = int(x.shape[0])
-    if batch % microbatches:
-        raise ValueError(f"batch {batch} not divisible by "
-                         f"microbatches={microbatches}")
-    mb = batch // microbatches
-    xm = x.reshape((microbatches, mb) + tuple(x.shape[1:]))
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
-    ticks = microbatches + n_stages - 1
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -86,6 +85,8 @@ def pipeline_apply(block_fn: Callable, stacked_params, x: jnp.ndarray,
         out_specs=P(PIPE_AXIS))             # per-stage outputs, stacked
     def run(params_mine, xm_all):
         stage = lax.axis_index(PIPE_AXIS)
+        ticks = int(xm_all.shape[0]) + n_stages - 1
+        n_micro = int(xm_all.shape[0])
 
         def stage_fwd(y):
             # my L/S consecutive blocks, folded with a scan over their
@@ -97,11 +98,11 @@ def pipeline_apply(block_fn: Callable, stacked_params, x: jnp.ndarray,
 
         def tick(carry, t):
             act, outs = carry
-            feed = xm_all[jnp.minimum(t, microbatches - 1)]
+            feed = xm_all[jnp.minimum(t, n_micro - 1)]
             y = jnp.where(stage == 0, feed, act)
             y = stage_fwd(y)
             # stage S-1 completes microbatch t-(S-1) at tick t
-            out_idx = jnp.clip(t - (n_stages - 1), 0, microbatches - 1)
+            out_idx = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
             valid = t >= (n_stages - 1)
             outs = lax.dynamic_update_index_in_dim(
                 outs, jnp.where(valid, y, outs[out_idx]), out_idx, 0)
@@ -117,8 +118,31 @@ def pipeline_apply(block_fn: Callable, stacked_params, x: jnp.ndarray,
         (_, outs), _ = lax.scan(tick, (act0, outs0), jnp.arange(ticks))
         return outs[None]  # (1, M, mb, ...) per stage -> stacked over pipe
 
-    stacked_params = jax.device_put(
+    params_sharded = jax.device_put(
         stacked_params, NamedSharding(mesh, P(PIPE_AXIS)))
-    outs = run(stacked_params, xm)
-    # only the LAST stage's buffer holds real outputs
-    return outs[-1].reshape((batch,) + tuple(x.shape[1:]))
+
+    @jax.jit
+    def _pipelined(params, xm):
+        # only the LAST stage's buffer holds real outputs
+        outs = run(params, xm)[-1]
+        return outs.reshape((xm.shape[0] * xm.shape[1],) + xm.shape[2:])
+
+    def apply(x: jnp.ndarray) -> jnp.ndarray:
+        batch = int(x.shape[0])
+        if batch % microbatches:
+            raise ValueError(f"batch {batch} not divisible by "
+                             f"microbatches={microbatches}")
+        mb = batch // microbatches
+        xm = x.reshape((microbatches, mb) + tuple(x.shape[1:]))
+        return _pipelined(params_sharded, xm)
+
+    apply._pipelined = _pipelined  # exposed for cache introspection/tests
+    return apply
+
+
+def pipeline_apply(block_fn: Callable, stacked_params, x: jnp.ndarray,
+                   mesh: Mesh, microbatches: int):
+    """One-shot convenience wrapper over :func:`make_pipeline_apply` (use
+    the factory in loops — it caches the compiled pipeline)."""
+    return make_pipeline_apply(block_fn, stacked_params, mesh,
+                               microbatches)(x)

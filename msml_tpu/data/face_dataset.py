@@ -402,9 +402,12 @@ class MXFaceDataset(FaceByRandOccMask):
     through mxnet's C++ recordio + OpenCV behind a torch DataLoader
     (load_dataset.py:39-48, train.py:96-99); this is the TPU-host analogue
     without worker processes. native_decode: True forces it (raises if
-    unavailable), None auto-enables, False keeps the Python path. Falls back
-    when the rec images are not already at out_size (the C++ resize is
-    cv2-convention, not PIL)."""
+    unavailable), None auto-enables, False keeps the Python path. The
+    auto-probe keeps the Python path when the FIRST record is not at
+    out_size (the C++ resize is cv2-convention, not PIL); if a rec has
+    MIXED sizes past the probe, off-size records are detected per batch
+    (decode_batch exact mode) and decoded through the Python PIL path, so
+    pixels stay bit-identical either way."""
 
     def __init__(self, root_dir: str, native_decode: Optional[bool] = None,
                  **kw):
@@ -461,7 +464,21 @@ class MXFaceDataset(FaceByRandOccMask):
         for b in range(nb):
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             keys = self.img_idx[idxs].astype(np.int64)
-            imgs, labels = self._native.decode_batch(keys, self.out_size)
+            # exact=True: records not already at out_size come back as
+            # "bad" instead of C++-resized (cv2 convention != PIL), and are
+            # decoded below through the Python path — so a rec with MIXED
+            # image sizes keeps bit-parity with the pure-Python loader.
+            imgs, labels, bad = self._native.decode_batch_partial(
+                keys, self.out_size, exact=True)
+            for k in np.unique(bad):
+                header, img_bytes = unpack(self.img_rec.read_idx(int(k)))
+                label = header.label
+                if not np.isscalar(label):
+                    label = label[0]
+                img = self._resize(Image.fromarray(imdecode(img_bytes)))
+                for slot in np.nonzero(keys == k)[0]:
+                    imgs[slot] = np.asarray(img, np.uint8)
+                    labels[slot] = float(label)
             flips = self._flip_draws(epoch, idxs)
             imgs[flips] = imgs[flips, :, ::-1]
             if self.raw_uint8:  # device_light: /255 + normalize run in-step

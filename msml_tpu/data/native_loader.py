@@ -47,6 +47,17 @@ def _load() -> Optional[ctypes.CDLL]:
     for p in _LIB_PATHS:
         if os.path.exists(p):
             lib = ctypes.CDLL(p)
+            try:
+                abi = int(lib.msml_loader_abi_version())
+            except AttributeError:
+                abi = 1
+            if abi < 2:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "stale libmsml_loader.so at %s (ABI %d < 2): rebuild "
+                    "with `python -m msml_tpu.tools.native --build`; "
+                    "native loader disabled", p, abi)
+                continue
             lib.msml_loader_open.restype = ctypes.c_void_p
             lib.msml_loader_open.argtypes = [ctypes.c_char_p,
                                              ctypes.c_char_p, ctypes.c_int]
@@ -54,10 +65,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.msml_loader_num_keys.restype = ctypes.c_int64
             lib.msml_loader_num_keys.argtypes = [ctypes.c_void_p]
             lib.msml_loader_keys.argtypes = [ctypes.c_void_p, _i64p]
-            lib.msml_loader_decode_batch.restype = ctypes.c_int
-            lib.msml_loader_decode_batch.argtypes = [
+            lib.msml_loader_decode_batch_v2.restype = ctypes.c_int
+            lib.msml_loader_decode_batch_v2.argtypes = [
                 ctypes.c_void_p, _i64p, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, _u8p, _f32p, _i64p]
+                ctypes.c_int, ctypes.c_int, _u8p, _f32p, _i64p]
             lib.msml_decode_jpeg.restype = ctypes.c_int
             lib.msml_decode_jpeg.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, _u8p, ctypes.c_int,
@@ -121,19 +132,31 @@ class NativeRecordReader:
     def decode_batch(self, keys: Sequence[int], out_size: Tuple[int, int],
                      strict: bool = True
                      ) -> Tuple[np.ndarray, np.ndarray]:
+        imgs, labels, bad = self.decode_batch_partial(keys, out_size,
+                                                      exact=False)
+        if len(bad) and strict:
+            raise IOError(f"{len(bad)} records failed to decode: keys "
+                          f"{bad[:8].tolist()}"
+                          + ("..." if len(bad) > 8 else ""))
+        return imgs, labels
+
+    def decode_batch_partial(self, keys: Sequence[int],
+                             out_size: Tuple[int, int], exact: bool = True
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Like decode_batch, but returns (imgs, labels, bad_keys) instead
+        of raising. With exact=True, records whose decoded size differs
+        from out_size are reported in bad_keys (zero-filled slots) rather
+        than C++-resized — the caller decodes those through a parity-exact
+        path (MXFaceDataset falls back to PIL per record)."""
         keys = np.ascontiguousarray(keys, np.int64)
         n = len(keys)
         h, w = int(out_size[0]), int(out_size[1])
         imgs = np.empty((n, h, w, 3), np.uint8)
         labels = np.empty((n,), np.float32)
         errs = np.empty((n,), np.int64)
-        nerr = self._lib.msml_loader_decode_batch(
-            self._h, keys, n, h, w, imgs, labels, errs)
-        if nerr and strict:
-            bad = errs[:min(nerr, n)].tolist()
-            raise IOError(f"{nerr} records failed to decode: keys {bad[:8]}"
-                          + ("..." if nerr > 8 else ""))
-        return imgs, labels
+        nerr = self._lib.msml_loader_decode_batch_v2(
+            self._h, keys, n, h, w, int(exact), imgs, labels, errs)
+        return imgs, labels, errs[:min(nerr, n)].copy()
 
     def close(self):
         if getattr(self, "_h", None):

@@ -201,3 +201,60 @@ def test_mxfacedataset_native_raw_uint8(tmp_path):
                 bb["img"], err_msg=f"gray={gray}")
             np.testing.assert_array_equal(ba["label"], bb["label"])
         a.close(), b.close()
+
+
+def test_decode_batch_exact_reports_offsize(rec):
+    """exact=True: off-size records come back in bad_keys (zero-filled),
+    not silently cv2-resized; exact=False keeps the v1 resize behavior."""
+    idx_p, rec_p, imgs = rec
+    with native_loader.NativeRecordReader(idx_p, rec_p) as r:
+        keys = [1, 2, 3]  # 1, 2 are 100x90; 3 is 112x112 (i % 3 pattern)
+        offsize = [k for k in keys if imgs[k].shape[:2] != (112, 112)]
+        exact_imgs, labels, bad = r.decode_batch_partial(keys, (112, 112),
+                                                         exact=True)
+        assert sorted(bad.tolist()) == sorted(offsize)
+        np.testing.assert_array_equal(labels, [1.0, 2.0, 3.0])
+        rd = IndexedRecordIO(idx_p, rec_p, "r")
+        for j, k in enumerate(keys):
+            if k in offsize:
+                assert exact_imgs[j].max() == 0  # zero-filled, not resized
+            else:
+                _, raw = unpack(rd.read_idx(k))
+                np.testing.assert_array_equal(exact_imgs[j], imdecode(raw))
+        rd.close()
+        # exact=False == the v1 contract: everything decodes, no bad keys
+        _, _, bad2 = r.decode_batch_partial(keys, (112, 112), exact=False)
+        assert bad2.size == 0
+
+
+def test_mxfacedataset_native_mixed_sizes_past_probe(tmp_path):
+    """A rec whose FIRST record is at out_size but that contains off-size
+    records must still match the Python path bit-for-bit: the off-size
+    records are detected per batch and PIL-decoded (the init probe alone
+    can't see them)."""
+    from msml_tpu.data.face_dataset import MXFaceDataset
+    from msml_tpu.data.recordio import IRHeader, IndexedRecordIO, imencode, pack
+
+    root = str(tmp_path / "rec_mixed")
+    os.makedirs(root)
+    rng = np.random.RandomState(11)
+    w = IndexedRecordIO(os.path.join(root, "train.idx"),
+                        os.path.join(root, "train.rec"), "w")
+    w.write_idx(0, pack(IRHeader(2, [17.0, 4.0], 1, 0), b""))
+    for i in range(1, 17):
+        shape = (112, 112) if i % 4 else (96, 100)  # probe sees 112x112
+        img = (rng.rand(*shape, 3) * 255).astype(np.uint8)
+        w.write_idx(i, pack(IRHeader(0, float(i % 4), 0, 0), imencode(img)))
+    w.close()
+
+    a = MXFaceDataset(root, batch_size=8, native_decode=True, use_ori=True)
+    b = MXFaceDataset(root, batch_size=8, native_decode=False, use_ori=True)
+    assert a._native is not None
+    n_batches = 0
+    for ba, bb in zip(a.epoch(0), b.epoch(0)):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], np.asarray(bb[k]),
+                                          err_msg=k)
+        n_batches += 1
+    assert n_batches == 2
+    a.close(), b.close()

@@ -84,5 +84,33 @@ def test_pipeline_validation():
     with pytest.raises(ValueError):  # no pipe axis
         from msml_tpu.core.mesh import make_mesh
         pipeline_apply(_toy_block, blocks, x, make_mesh(), microbatches=2)
-    with pytest.raises(ValueError):  # 8 devices % 3
-        make_pipe_mesh(3)
+    # n_stages need not divide the device count — only fit within it
+    assert make_pipe_mesh(3).shape[PIPE_AXIS] == 3
+    with pytest.raises(ValueError):  # more stages than devices
+        make_pipe_mesh(9)
+    with pytest.raises(ValueError):
+        make_pipe_mesh(0)
+
+
+def test_make_pipeline_apply_reuses_executable():
+    """The factory form compiles once and reuses it across calls (the
+    serving shape); results stay equal to the sequential fold."""
+    from msml_tpu.core.pipeline import make_pipeline_apply
+
+    rng = np.random.RandomState(0)
+    blocks = [{"w": jnp.asarray(rng.randn(3, 3, 4, 4), jnp.float32) * 0.1,
+               "b": jnp.zeros((4,))} for _ in range(4)]
+    stacked = stack_block_params(blocks)
+    apply = make_pipeline_apply(_toy_block, stacked, make_pipe_mesh(2),
+                                microbatches=2)
+    for trial in range(3):
+        x = jnp.asarray(rng.randn(4, 8, 8, 4), jnp.float32)
+        ref = x
+        for b in blocks:
+            ref = _toy_block(b, ref)
+        np.testing.assert_allclose(np.asarray(apply(x)), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+    # one executable for the repeated shape (the point of the factory)
+    assert apply._pipelined._cache_size() == 1
+    with pytest.raises(ValueError):  # batch 5 % microbatches 2
+        apply(jnp.zeros((5, 8, 8, 4)))

@@ -18,11 +18,13 @@
 
 #include <algorithm>
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
 #include <memory>
+#include <mutex>
 #include <fstream>
 #include <string>
 #include <thread>
@@ -40,6 +42,16 @@ namespace {
 constexpr uint32_t kMagic = 0xced7230a;
 constexpr uint32_t kLenMask = (1u << 29) - 1;
 
+struct BatchJob {
+  const int64_t* keys;
+  int n, out_h, out_w;
+  int exact;                            // off-size records are errors
+  uint8_t* out_imgs;
+  float* out_labels;
+  int64_t* err_keys;
+  std::atomic<int> next{0}, nerr{0};
+};
+
 struct Loader {
   int fd = -1;
   const uint8_t* data = nullptr;
@@ -47,6 +59,18 @@ struct Loader {
   std::vector<int64_t> keys;            // sorted .idx keys
   std::vector<uint64_t> offsets;        // parallel to keys
   int nthreads = 1;
+
+  // Persistent decode pool: workers live for the Loader's lifetime (a
+  // thread create+join round per batch at nw=32 is a steady host tax);
+  // each owns a lazily-sized scratch buffer. Batches hand work over via
+  // a generation counter under `mu`.
+  std::vector<std::thread> pool;
+  std::mutex mu;
+  std::condition_variable cv_start, cv_done;
+  bool stop = false;
+  uint64_t gen = 0;
+  int active = 0;
+  BatchJob* cur = nullptr;
 
   int64_t find(int64_t key) const {     // -> offset index or -1
     size_t lo = 0, hi = keys.size();
@@ -81,10 +105,13 @@ struct Buf {
 
 // Decode one JPEG to RGB uint8. Returns 0 on success; fills (*w, *h).
 // Grayscale sources upsample to RGB (libjpeg replicates the channel exactly,
-// matching cv2.IMREAD_COLOR). Buffer `out` must hold max_h*max_w*3; decode
-// fails (-2) if the image exceeds it.
-int decode_jpeg(const uint8_t* buf, size_t len, uint8_t* out, int max_h,
-                int max_w, int* h, int* w) {
+// matching cv2.IMREAD_COLOR). Output: either a fixed buffer `out_fixed`
+// (must hold max_h*max_w*3) or, when `out_buf` is non-null, a growable Buf
+// sized to the actual image AFTER the header is read — so a persistent
+// per-thread scratch stays image-sized (~37 KB for 112^2 faces) instead of
+// pinning max_side^2*3 = 50 MB per pool thread. Fails (-1) past max bounds.
+int decode_jpeg(const uint8_t* buf, size_t len, Buf* out_buf,
+                uint8_t* out_fixed, int max_h, int max_w, int* h, int* w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -108,6 +135,8 @@ int decode_jpeg(const uint8_t* buf, size_t len, uint8_t* out, int max_h,
     longjmp(jerr.jb, 1);  // unified cleanup
   }
   const size_t stride = (size_t)(*w) * 3;
+  uint8_t* out = out_buf ? out_buf->ensure((size_t)(*h) * stride)
+                         : out_fixed;
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = out + (size_t)cinfo.output_scanline * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -173,9 +202,74 @@ int parse_record(const Loader* L, uint64_t off, const uint8_t** jpeg,
   return 0;
 }
 
+// Drain items from the shared batch job until none remain. `sbuf` is the
+// calling thread's persistent decode scratch (sized lazily to the images).
+void process_items(const Loader* L, BatchJob* J, Buf& sbuf) {
+  const size_t img_sz = (size_t)J->out_h * J->out_w * 3;
+  const int max_side = 4096;  // decode bound (raw faces are small)
+  for (;;) {
+    int i = J->next.fetch_add(1);
+    if (i >= J->n) break;
+    uint8_t* dst = J->out_imgs + (size_t)i * img_sz;
+    J->out_labels[i] = 0.f;
+    const uint8_t* jp = nullptr;
+    size_t jlen = 0;
+    float lab = 0.f;
+    int64_t ki = L->find(J->keys[i]);
+    int rc = ki < 0 ? -1
+             : parse_record(L, L->offsets[ki], &jp, &jlen, &lab);
+    int ih = 0, iw = 0;
+    if (rc == 0) J->out_labels[i] = lab;  // label valid once parsed (the
+                                          // header record has no image)
+    if (rc == 0) {
+      rc = decode_jpeg(jp, jlen, &sbuf, nullptr, max_side, max_side,
+                       &ih, &iw);
+    }
+    if (rc == 0 && J->exact && (ih != J->out_h || iw != J->out_w)) {
+      rc = -3;  // caller wants off-size records reported, not resized
+    }
+    if (rc == 0) {
+      if (ih == J->out_h && iw == J->out_w) {
+        memcpy(dst, sbuf.p.get(), img_sz);
+      } else {
+        resize_bilinear(sbuf.p.get(), ih, iw, dst, J->out_h, J->out_w);
+      }
+    } else {
+      memset(dst, 0, img_sz);
+      int e = J->nerr.fetch_add(1);
+      if (e < J->n) J->err_keys[e] = J->keys[i];
+    }
+  }
+}
+
+void pool_worker(Loader* L) {
+  Buf sbuf;  // persists across batches; sized to the largest image seen
+  uint64_t seen = 0;
+  for (;;) {
+    BatchJob* job = nullptr;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      L->cv_start.wait(lk, [&] { return L->stop || L->gen != seen; });
+      if (L->stop) return;
+      seen = L->gen;
+      job = L->cur;
+    }
+    process_items(L, job, sbuf);
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      if (--L->active == 0) L->cv_done.notify_all();
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Bumped whenever the C ABI changes; the Python bindings refuse stale .so
+// builds instead of calling with mismatched signatures. v2: persistent
+// pool + `exact` batch mode (msml_loader_decode_batch_v2).
+int msml_loader_abi_version() { return 2; }
 
 void* msml_loader_open(const char* idx_path, const char* rec_path,
                        int nthreads) {
@@ -209,12 +303,25 @@ void* msml_loader_open(const char* idx_path, const char* rec_path,
   if (m == MAP_FAILED) { close(L->fd); delete L; return nullptr; }
   madvise(m, L->size, MADV_WILLNEED);
   L->data = (const uint8_t*)m;
+  if (L->nthreads > 1) {
+    L->pool.reserve(L->nthreads);
+    for (int t = 0; t < L->nthreads; ++t)
+      L->pool.emplace_back(pool_worker, L);
+  }
   return L;
 }
 
 void msml_loader_close(void* h) {
   auto* L = (Loader*)h;
   if (!L) return;
+  if (!L->pool.empty()) {
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      L->stop = true;
+    }
+    L->cv_start.notify_all();
+    for (auto& t : L->pool) t.join();
+  }
   if (L->data) munmap((void*)L->data, L->size);
   if (L->fd >= 0) close(L->fd);
   delete L;
@@ -230,68 +337,44 @@ void msml_loader_keys(void* h, int64_t* out) {
 }
 
 // Decode records `keys[0..n)` into out_imgs (n, out_h, out_w, 3) uint8 and
-// out_labels (n). Images whose decoded size differs from (out_h, out_w) are
-// bilinearly resized. Returns 0, or the number of failed records; failed
-// slots are zero-filled and their key recorded in err_keys (capacity n,
-// -1-terminated when fewer).
+// out_labels (n). With exact == 0, images whose decoded size differs from
+// (out_h, out_w) are bilinearly resized (cv2 convention); with exact != 0
+// they are reported as errors instead, so the caller can decode them
+// through a parity-exact path. Returns 0, or the number of failed records;
+// failed slots are zero-filled and their key recorded in err_keys
+// (capacity n, -1-terminated when fewer). Runs on the persistent pool.
+int msml_loader_decode_batch_v2(void* h, const int64_t* keys, int n,
+                                int out_h, int out_w, int exact,
+                                uint8_t* out_imgs, float* out_labels,
+                                int64_t* err_keys) {
+  auto* L = (Loader*)h;
+  BatchJob job{keys, n, out_h, out_w, exact,
+               out_imgs, out_labels, err_keys};
+  if (L->pool.empty() || n <= 1) {
+    Buf sbuf;
+    process_items(L, &job, sbuf);
+  } else {
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      L->cur = &job;
+      L->active = (int)L->pool.size();
+      ++L->gen;
+    }
+    L->cv_start.notify_all();
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_done.wait(lk, [&] { return L->active == 0; });
+  }
+  int e = job.nerr.load();
+  if (e < n) err_keys[e] = -1;
+  return e;
+}
+
+// v1-compatible entry (always resizes off-size records).
 int msml_loader_decode_batch(void* h, const int64_t* keys, int n,
                              int out_h, int out_w, uint8_t* out_imgs,
                              float* out_labels, int64_t* err_keys) {
-  auto* L = (Loader*)h;
-  std::atomic<int> next(0), nerr(0);
-  const size_t img_sz = (size_t)out_h * out_w * 3;
-  const int max_side = 4096;  // decode scratch bound (raw faces are small)
-  auto worker = [&]() {
-    Buf sbuf;
-    uint8_t* scratch_p = sbuf.ensure((size_t)max_side * max_side * 3);
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) break;
-      uint8_t* dst = out_imgs + (size_t)i * img_sz;
-      out_labels[i] = 0.f;
-      const uint8_t* jp = nullptr;
-      size_t jlen = 0;
-      float lab = 0.f;
-      int64_t ki = L->find(keys[i]);
-      int rc = ki < 0 ? -1
-               : parse_record(L, L->offsets[ki], &jp, &jlen, &lab);
-      int ih = 0, iw = 0;
-      if (rc == 0) out_labels[i] = lab;  // label valid once parsed (the
-                                         // header record has no image)
-      if (rc == 0) {
-        if ((size_t)out_h <= (size_t)max_side &&
-            (size_t)out_w <= (size_t)max_side) {
-          rc = decode_jpeg(jp, jlen, scratch_p, max_side, max_side,
-                           &ih, &iw);
-        } else {
-          rc = -1;
-        }
-      }
-      if (rc == 0) {
-        if (ih == out_h && iw == out_w) {
-          memcpy(dst, scratch_p, img_sz);
-        } else {
-          resize_bilinear(scratch_p, ih, iw, dst, out_h, out_w);
-        }
-      } else {
-        memset(dst, 0, img_sz);
-        int e = nerr.fetch_add(1);
-        if (e < n) err_keys[e] = keys[i];
-      }
-    }
-  };
-  int nt = L->nthreads < n ? L->nthreads : n;
-  if (nt <= 1) {
-    worker();
-  } else {
-    std::vector<std::thread> th;
-    th.reserve(nt);
-    for (int t = 0; t < nt; ++t) th.emplace_back(worker);
-    for (auto& t : th) t.join();
-  }
-  int e = nerr.load();
-  if (e < n) err_keys[e] = -1;
-  return e;
+  return msml_loader_decode_batch_v2(h, keys, n, out_h, out_w, 0,
+                                     out_imgs, out_labels, err_keys);
 }
 
 // Decode ONE record's raw jpeg bytes span (zero-copy view metadata) —
@@ -316,7 +399,7 @@ int64_t msml_loader_record_span(void* h, int64_t key, uint64_t* offset,
 // laid out at the DECODED stride (w*3), rows packed.
 int msml_decode_jpeg(const uint8_t* buf, int64_t len, uint8_t* out,
                      int max_h, int max_w, int* h, int* w) {
-  return decode_jpeg(buf, (size_t)len, out, max_h, max_w, h, w);
+  return decode_jpeg(buf, (size_t)len, nullptr, out, max_h, max_w, h, w);
 }
 
 }  // extern "C"
