@@ -227,101 +227,18 @@ def init_tp_train_state(model, cfg, rng, mesh: Mesh):
 def make_tp_train_step(model, cfg, mesh: Mesh, lr_scales):
     """GSPMD training step over a ``("data", "model")`` mesh (dense heads).
 
-    Same loss composition as the shard_map step (train/train_step.py:
-    CE + lambda1 * consensus + kd_weight * kd + sown recover loss, SGD
-    with per-param LR scales, global-norm clip) written over the GLOBAL
-    batch — no explicit collectives; XLA inserts the data-axis grad
-    reductions and the model-axis block psums. BatchNorm is sync-BN (the
-    documented semantic difference from the per-shard shard_map path).
+    The step math is the shared GSPMD global-batch step
+    (core/gspmd.py: same loss composition as the shard_map step) — no
+    explicit collectives; XLA inserts the data-axis grad reductions and
+    the model-axis block psums. BatchNorm is sync-BN (the documented
+    semantic difference from the per-shard shard_map path).
 
     step(state, batch, lr_factor, rng) -> (state, metrics)
     """
     if MODEL_AXIS not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no '{MODEL_AXIS}' "
                          f"axis: use make_tp_mesh")
-    use_osb = bool(cfg.use_osb)
-    use_ori = bool(cfg.peer_params.get("use_ori"))
-    lambda1 = float(cfg.lambda1)
-    kd_weight = float(cfg.get("kd_loss_weight", 0.0))
-    device_light = bool(cfg.get("device_light"))
-    dl_gauss = bool(cfg.get("gauss_light", True))
-    dl_norm = bool(cfg.use_norm)
-    clip_norm = float(cfg.grad_clip_norm)
-    wd = float(cfg.weight_decay)
-    momentum_coef = float(cfg.momentum)
-
-    from msml_tpu.losses import structure_consensus_loss
-
-    def step_fn(state, batch, lr_factor, rng):
-        step_rng = jax.random.fold_in(rng, state.step)
-        img, label = batch["img"], batch["label"]
-        ori = batch["ori"] if use_ori else None
-        if device_light:
-            from msml_tpu.kernels.augment import device_input_stage
-            img = device_input_stage(img,
-                                     jax.random.fold_in(step_rng, 0xD11),
-                                     gauss_light=dl_gauss, use_norm=dl_norm)
-            if ori is not None:
-                ori = device_input_stage(ori, step_rng, gauss_light=False,
-                                         use_norm=dl_norm)
-
-        def loss_fn(params):
-            variables = {"params": params,
-                         "batch_stats": state.batch_stats}
-            outs, mutated = model.apply(
-                variables, img, label, ori, train=True,
-                rngs={"dropout": step_rng},
-                mutable=["batch_stats", "losses"])
-            head_out, final_seg, kd = outs
-            rec_loss = sum(jnp.asarray(v, jnp.float32).sum()
-                           for v in jax.tree.leaves(
-                               mutated.get("losses", {})))
-            logp = jax.nn.log_softmax(head_out.astype(jnp.float32), -1)
-            cls_loss = -jnp.take_along_axis(
-                logp, label[:, None], 1)[:, 0].mean()
-            if use_osb:
-                seg_loss = structure_consensus_loss(final_seg, batch["msk"])
-            else:
-                seg_loss = jnp.float32(0.0)
-            kd = jnp.asarray(kd, jnp.float32)
-            total = (cls_loss + lambda1 * seg_loss + kd_weight * kd
-                     + rec_loss)
-            aux = dict(batch_stats=mutated["batch_stats"],
-                       cls_loss=cls_loss, seg_loss=seg_loss, kd=kd)
-            return total, aux
-
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        grads, gnorm = optim.clip_by_global_norm(grads, clip_norm)
-        new_params, new_momentum = optim.sgd_update(
-            state.params, grads, state.momentum, lr_scales, lr_factor,
-            wd, momentum_coef)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=aux["batch_stats"],
-                                  momentum=new_momentum)
-        metrics = dict(total_loss=total, cls_loss=aux["cls_loss"],
-                       seg_loss=aux["seg_loss"], kd=aux["kd"],
-                       nll=aux["cls_loss"], grad_norm=gnorm)
-        return new_state, metrics
-
-    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
-    repl = NamedSharding(mesh, P())
-    _jit = None
-
-    def bound(state, batch, lr_factor, rng):
-        """First call pins the state's shardings as the jit contract, so
-        every step preserves the TP layout (no silent resharding)."""
-        nonlocal _jit
-        if _jit is None:
-            state_sh = jax.tree.map(lambda x: x.sharding, state)
-            metric_keys = ("total_loss", "cls_loss", "seg_loss", "kd",
-                           "nll", "grad_norm")
-            _jit = jax.jit(
-                step_fn, donate_argnums=(0,),
-                in_shardings=(state_sh,
-                              jax.tree.map(lambda _: batch_sh, batch),
-                              repl, repl),
-                out_shardings=(state_sh, {k: repl for k in metric_keys}))
-        return _jit(state, batch, jnp.asarray(lr_factor, jnp.float32), rng)
-
-    return bound
+    from msml_tpu.core.gspmd import (make_global_batch_step_fn,
+                                     pin_first_call_jit)
+    return pin_first_call_jit(
+        make_global_batch_step_fn(model, cfg, lr_scales), mesh)
