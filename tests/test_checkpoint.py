@@ -147,3 +147,39 @@ def test_async_checkpoint_writer_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(r2.pfc_momentum),
                                np.asarray(r1.pfc_momentum) + 2.0)
     _tree_equal(r2.params, s2.params)
+
+
+def test_checkpoint_reshards_between_fsdp_and_replicated(tmp_path):
+    """Elastic resume across state layouts: an FSDP-sharded checkpoint
+    restores into a replicated template and vice versa (orbax restores
+    into the TEMPLATE's shardings — the mesh/layout at save time does not
+    pin the resume layout)."""
+    from msml_tpu.core.fsdp import init_fsdp_train_state, sharded_fraction
+
+    cfg = _cfg()
+    mesh = make_mesh()
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    fs_state = init_fsdp_train_state(model, cfg, jax.random.PRNGKey(0),
+                                     mesh)
+    assert sharded_fraction(fs_state.params) > 0.9
+    out = str(tmp_path / "wf")
+    ckpt.save_checkpoint(out, fs_state, step=1)
+
+    # FSDP checkpoint -> replicated template (e.g. resume single-chip)
+    repl = jax.tree.map(
+        lambda x: jax.device_put(np.zeros(x.shape, x.dtype)), fs_state)
+    r = ckpt.restore_checkpoint(out, repl, step=1)
+    _tree_equal(r.params, fs_state.params)
+    _tree_equal(r.momentum, fs_state.momentum)
+
+    # replicated checkpoint -> FSDP template (scale-out resume): values
+    # equal AND the restored leaves actually carry the FSDP sharding
+    out2 = str(tmp_path / "wf2")
+    ckpt.save_checkpoint(out2, r, step=1)
+    template = init_fsdp_train_state(model, cfg, jax.random.PRNGKey(7),
+                                     mesh)
+    r2 = ckpt.restore_checkpoint(out2, template, step=1)
+    _tree_equal(r2.params, fs_state.params)
+    k = r2.params["frb"]["layer4"]["block0"]["conv1"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+    assert k.addressable_shards[0].data.shape[-1] == k.shape[-1] // 8
