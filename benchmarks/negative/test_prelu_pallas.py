@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
-from msml_tpu.kernels.prelu import _pick_tile, _plain, prelu
+from prelu_pallas import _pick_tile, _plain, prelu
 
 
 def _loss_plain(x, a):

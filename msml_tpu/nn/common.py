@@ -29,11 +29,11 @@ class PReLU(nn.Module):
         alpha = self.param("alpha", nn.initializers.constant(0.25),
                            (x.shape[-1],), jnp.float32)
         alpha = alpha.astype(x.dtype)
-        # NOTE: a fused Pallas PReLU (kernels/prelu.py) was measured SLOWER
-        # end-to-end (1306 vs 2934 img/s/chip): the custom call breaks XLA's
-        # elementwise fusion around every site and the C<128 activations pay
-        # 128-lane padding on each kernel round-trip. Negative result kept
-        # opt-in there; plain jnp is the fast path (PERF.md).
+        # NOTE: a fused Pallas PReLU (benchmarks/negative/prelu_pallas.py)
+        # was measured SLOWER end-to-end (1306 vs 2934 img/s/chip): the
+        # custom call breaks XLA's elementwise fusion around every site and
+        # the C<128 activations pay 128-lane padding on each kernel
+        # round-trip. Plain jnp is the fast path (PERF.md).
         return jnp.where(x >= 0, x, alpha * x)
 
 

@@ -14,8 +14,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the heavy model-graph compiles dominate suite
-# time; cache them across runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/msml_jax_cache")
+# time; cache them across runs (MSML_TEST_CACHE_DIR overrides, e.g. for
+# cold-cache timing of the fast tier)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MSML_TEST_CACHE_DIR",
+                                 "/tmp/msml_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -105,6 +105,7 @@ def test_verification_prepare_finish_hooks(tmp_path):
     assert calls == ["prep", "fin"] and len(res) == 1
 
 
+@pytest.mark.slow
 def test_metrics_writer_tensorboard(tmp_path):
     """MetricsWriter writes TB event scalars when wired into
     ThroughputLogger (the working version of the writer the reference

@@ -84,6 +84,7 @@ class TIResNet(tnn.Module):
         return self.features(x)
 
 
+@pytest.mark.slow
 def test_iresnet_import_forward_parity():
     torch.manual_seed(0)
     tmodel = TIResNet().eval()

@@ -40,6 +40,7 @@ def test_unet_output_shapes_128():
         (1, 128, 128, 2)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("h,cf", [(56, 64), (28, 128), (14, 256), (7, 512)])
 def test_fm_shapes(h, cf):
     """fmoperator.py:350-371: output matches yf shape at every stage."""
@@ -88,6 +89,7 @@ def test_msml_lightcnn_contract():
     assert feat.shape == (2, 256) and seg.shape == (2, 128, 128, 2)
 
 
+@pytest.mark.slow
 def test_msml_no_osb():
     """use_osb=False: segs None, eval seg None (msml.py:159-161)."""
     model = _msml("iresnet18", "AMCosFace", use_osb=False,

@@ -113,6 +113,7 @@ def _save_torch_weights(tmp_path):
     return nets
 
 
+@pytest.mark.slow
 def test_nets_match_torch_oracle(tmp_path):
     nets = _save_torch_weights(tmp_path)
     pnet, rnet, onet = load_mtcnn_weights(str(tmp_path))
@@ -167,6 +168,7 @@ def test_box_utils_semantics():
 
 @pytest.mark.skipif(not os.path.isdir(REF_WEIGHTS),
                     reason="reference MTCNN weights not available")
+@pytest.mark.slow
 def test_cascade_end_to_end_with_reference_weights():
     """Real public weights: the cascade must detect a synthetic frontal
     face (drawn with eyes/nose/mouth blobs) and return 5-pt landmarks

@@ -10,6 +10,7 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -71,6 +72,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_sharded_input(tmp_path):
     script = tmp_path / "child.py"
     script.write_text(CHILD % {"repo": REPO})

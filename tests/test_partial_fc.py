@@ -78,6 +78,7 @@ def _sharded_loss(pfc, w, feats, labels, rng=None):
     return fn(jnp.asarray(w), jnp.asarray(feats), jnp.asarray(labels))
 
 
+@pytest.mark.slow
 def test_pfc_loss_matches_dense_oracle():
     feats, labels, w = _data()
     pfc = PartialFC(num_classes=NUM_CLASSES, embedding_size=DIM)
@@ -86,6 +87,7 @@ def test_pfc_loss_matches_dense_oracle():
     np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pfc_with_margin_matches_dense():
     feats, labels, w = _data(1)
     num_local = _num_local()
@@ -135,6 +137,7 @@ def test_pfc_gradients_match_dense():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pfc_nll_matches_plain_ce():
     """aux['nll'] reports the unsmoothed -log p_y (partial_fc.py:160-163)."""
     feats, labels, w = _data(3)
@@ -150,6 +153,7 @@ def test_pfc_nll_matches_plain_ce():
     np.testing.assert_allclose(float(nll), float(want), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pfc_sampled_mode():
     """sample_rate < 1: positives always kept (when they fit, which real
     training guarantees: num_sample >> batch), loss finite

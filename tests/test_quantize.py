@@ -46,6 +46,7 @@ def _rand(b=4, seed=0):
         np.random.RandomState(seed).randn(b, 16, 16, 3), jnp.float32)
 
 
+@pytest.mark.slow
 def test_skip_rules_and_stats(small_model):
     stats = {}
     qf = quantize_fn(small_model, stats_out=stats)
@@ -56,6 +57,7 @@ def test_skip_rules_and_stats(small_model):
                      "dot_quantized": 1, "dot_kept": 0}
 
 
+@pytest.mark.slow
 def test_accuracy_close_to_fp(small_model):
     x = _rand(8, seed=1)
     ref = np.asarray(small_model(x), np.float64)
@@ -78,6 +80,7 @@ def test_batch_invariance_per_sample_scales(small_model):
     np.testing.assert_array_equal(big[:4], alone[:4])
 
 
+@pytest.mark.slow
 def test_zero_input_finite(small_model):
     """All-zero rows (the batcher's padding) must not produce inf/nan
     through the dynamic-scale division."""
