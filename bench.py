@@ -44,7 +44,14 @@ jax.config.update("jax_compilation_cache_dir",
                   flag_cache_dir("/tmp/msml_jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-A100_EST_IPS = 1500.0  # estimated reference PyTorch AMP img/s on one A100
+# Estimated reference PyTorch AMP img/s on one A100. Grounded in
+# BASELINE.md "A100 baseline derivation": 24.2 GFLOPs/img measured train
+# cost (XLA cost analysis) / 312 TFLOP/s A100 peak at ~11.6% end-to-end
+# utilization — centered between the insightface arcface_torch anchor
+# (<=8% of peak, same research-code class) and NGC-grade ResNet50 (~24%,
+# unreachable for eager multi-branch code with per-step Python in the
+# loss). Band: 1030 (8%) .. 2060 (16%).
+A100_EST_IPS = 1500.0
 TARGET_IPS = 2.0 * A100_EST_IPS
 
 SCAN_STEPS = 16    # steps per dispatched window (lax.scan inside one jit);

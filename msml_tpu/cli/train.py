@@ -152,26 +152,22 @@ def _main_inner(args, preempted):
 
     use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
         cfg.get("use_partial_fc", False))
-    strategy = getattr(args, "strategy", "spmd") or "spmd"
-    if strategy not in ("spmd", "fsdp"):
-        raise SystemExit(f"unknown --strategy {strategy!r}: spmd | fsdp")
-    if strategy == "fsdp":
-        # FSDP/ZeRO (core/fsdp.py): GSPMD global-batch step, params +
-        # momentum sharded over "data". Scope limits are explicit:
-        if use_pfc:
-            raise SystemExit(
-                "--strategy fsdp requires a dense head (sample_rate: 1, "
-                "use_partial_fc: false) — PartialFC carries its own class "
-                "sharding on the spmd path")
-        if args.dcn_slices:
-            raise SystemExit("--strategy fsdp does not compose with "
-                             "--dcn-slices yet; use --strategy spmd")
-        if args.scan_steps > 1:
-            raise SystemExit("--strategy fsdp dispatches one step per call;"
-                             " drop --scan-steps")
-        if jax.process_count() > 1:
-            raise SystemExit("--strategy fsdp is single-process for now; "
-                             "use --strategy spmd for multi-host")
+    # One composable parallelism surface (core/parallelism.py): CLI
+    # --strategy tokens + the yaml `parallelism:` block + --dcn-slices
+    # resolve to a Plan; unsupported compositions fail here with the reason
+    from msml_tpu.core import parallelism as par
+    try:
+        plan = par.parse_strategy(getattr(args, "strategy", "") or "",
+                                  cfg, dcn_slices=max(int(args.dcn_slices),
+                                                      0))
+        par.validate_plan(plan, use_pfc=use_pfc,
+                          multihost=jax.process_count() > 1)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if plan.family == "gspmd" or plan.tp > 1:
+        # GSPMD strategies build their own mesh shape (data[, model])
+        mesh = par.build_mesh(plan)
+        world = mesh_world(mesh)
     policy = policy_from_config(bool(cfg.get("fp16", True)))
     model = msml_from_config(cfg, policy=policy, external_header=use_pfc)
     pfc = None
@@ -182,15 +178,9 @@ def _main_inner(args, preempted):
                         margin_fn=get_margin_fn(cfg.header_type,
                                                 cfg.header_params))
 
-    if strategy == "fsdp":
-        from msml_tpu.core.fsdp import (init_fsdp_train_state,
-                                        make_fsdp_train_step,
-                                        sharded_fraction)
-        state = init_fsdp_train_state(model, cfg, rng, mesh)
-    else:
-        state = init_train_state(model, cfg, rng, mesh, use_pfc=use_pfc)
+    state = par.init_state(plan, model, cfg, rng, mesh, use_pfc=use_pfc)
     # pretrained backbone/peer overlay (iresnet.py:410-442 / peer loaders);
-    # re-places with the state's own shardings, so the FSDP layout survives
+    # re-places with the state's own shardings, so FSDP/TP layouts survive
     from msml_tpu.tools.load_weights import load_pretrained
     state = load_pretrained(state, cfg)
     lr_scales = optim.build_lr_scales(state.params, cfg, world)
@@ -198,15 +188,10 @@ def _main_inner(args, preempted):
     scan_unroll = getattr(args, "scan_unroll", None)
     if scan_unroll is None:  # CLI flag wins; else yaml; else tuned default
         scan_unroll = int(cfg.get("scan_unroll", 2))
-    if strategy == "fsdp":
-        step_fn = make_fsdp_train_step(model, cfg, mesh, lr_scales)
-        logger.info("fsdp: %.0f%% of parameter bytes sharded over %d "
-                    "devices" % (100 * sharded_fraction(state.params),
-                                 world))
-    else:
-        step_fn = make_train_step(model, cfg, mesh, lr_scales, pfc,
-                                  scan_steps=scan_steps,
-                                  scan_unroll=scan_unroll)
+    step_fn = par.make_step(plan, model, cfg, mesh, lr_scales, pfc,
+                            scan_steps=scan_steps, scan_unroll=scan_unroll)
+    if plan.fsdp or plan.tp > 1:
+        logger.info(par.layout_summary(plan, state))
 
     start_epoch = 0
     if args.resume:
@@ -389,9 +374,16 @@ def parse_args(argv=None):
                         "scan_unroll, else 2 — PERF.md r3 sweep: 2 is "
                         "fastest on v5e)")
     p.add_argument("--strategy", type=str, default="spmd",
-                   help="spmd (shard_map, DDP-parity per-shard BN; "
-                        "default) | fsdp (GSPMD ZeRO: params + momentum "
-                        "sharded over data, sync-BN; dense heads only)")
+                   help="composable '+'-joined tokens "
+                        "(core/parallelism.py): spmd|ddp (shard_map "
+                        "data parallelism, DDP-parity per-shard BN; "
+                        "default) | fsdp (ZeRO params+momentum over "
+                        "data; composes with PartialFC, --scan-steps "
+                        "and --dcn-slices) | tp:N (GSPMD Megatron "
+                        "block sharding; dense heads, sync-BN) | gspmd "
+                        "(force the GSPMD family). E.g. 'fsdp', "
+                        "'tp:2+fsdp'. The yaml 'parallelism:' block "
+                        "sets the same knobs; CLI tokens win")
     p.add_argument("--scan-steps", type=int, default=1,
                    help="train steps per dispatched jit window (lax.scan); "
                         ">1 amortizes host dispatch latency")

@@ -43,13 +43,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from msml_tpu.core.mesh import DATA_AXIS
 from msml_tpu.train import optim
 
-# Leaves with fewer elements stay replicated: at bf16/f32 a sub-4 KiB
-# all-gather is latency-bound, and BN scale/bias/stats leaves dominate the
-# leaf *count* while holding <0.5% of the bytes.
+# Leaves with fewer than 4096 ELEMENTS (8 KiB at bf16, 16 KiB at f32)
+# stay replicated: all-gathers that small are latency-bound, and BN
+# scale/bias/stats leaves dominate the leaf *count* while holding <0.5%
+# of the bytes.
 MIN_SHARD_SIZE = 4096
 
 
-def _leaf_spec(leaf, n_shard: int, min_size: int) -> P:
+def _leaf_spec(leaf, n_shard: int, min_size: int = MIN_SHARD_SIZE) -> P:
     shape = tuple(getattr(leaf, "shape", ()) or ())
     if not shape or math.prod(shape) < min_size:
         return P()
@@ -111,28 +112,40 @@ def init_fsdp_train_state(model, cfg, rng, mesh: Mesh):
                       batch_stats=batch_stats, momentum=momentum)
 
 
-def make_fsdp_train_step(model, cfg, mesh: Mesh, lr_scales):
+def make_fsdp_train_step(model, cfg, mesh: Mesh, lr_scales,
+                         scan_steps: int = 1, scan_unroll: int = 2):
     """The shared GSPMD global-batch step (core/gspmd.py) jitted with the
     FSDP state layout pinned: weights/momentum stay ``data``-sharded
     across steps, batch sharded over ``data``, sync-BN semantics.
 
     step(state, batch, lr_factor, rng) -> (state, metrics)
-    """
-    if DATA_AXIS not in mesh.axis_names:
-        raise ValueError(f"mesh {mesh.axis_names} has no '{DATA_AXIS}' "
-                         f"axis")
+
+    For FSDP composed with PartialFC / multi-slice meshes use the
+    shard_map path instead (``make_train_step(..., fsdp=True)`` via
+    core/parallelism.py) — this GSPMD step shards the batch as
+    ``P("data")`` only and would silently replicate it across any extra
+    mesh axis, so reject such meshes outright."""
+    if tuple(mesh.axis_names) != (DATA_AXIS,):
+        raise ValueError(
+            f"make_fsdp_train_step needs a 1-D ('{DATA_AXIS}',) mesh, got "
+            f"{mesh.axis_names}; multi-slice FSDP runs on the shard_map "
+            f"path (strategy 'fsdp', core/parallelism.py), TP+FSDP via "
+            f"make_tp_fsdp_train_step")
     from msml_tpu.core.gspmd import (make_global_batch_step_fn,
                                      pin_first_call_jit)
     return pin_first_call_jit(
-        make_global_batch_step_fn(model, cfg, lr_scales), mesh)
+        make_global_batch_step_fn(model, cfg, lr_scales), mesh,
+        scan_steps=scan_steps, scan_unroll=scan_unroll)
 
 
 def sharded_fraction(tree: Any) -> float:
     """Fraction of the tree's bytes whose leaves are actually sharded
-    (diagnostic; 1.0 = every byte sharded)."""
+    (diagnostic; 1.0 = every byte sharded). Each leaf is weighted by
+    elements * itemsize so mixed bf16/f32 trees report true bytes."""
     total = sharded = 0
     for leaf in jax.tree.leaves(tree):
         n = math.prod(leaf.shape) if leaf.shape else 1
+        n *= getattr(getattr(leaf, "dtype", None), "itemsize", 1)
         total += n
         sh = getattr(leaf, "sharding", None)
         if sh is not None and not sh.is_fully_replicated:

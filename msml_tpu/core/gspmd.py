@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msml_tpu.core.mesh import DATA_AXIS
@@ -103,22 +104,42 @@ def make_global_batch_step_fn(model, cfg, lr_scales):
     return step_fn
 
 
-def pin_first_call_jit(step_fn, mesh: Mesh):
+def pin_first_call_jit(step_fn, mesh: Mesh, scan_steps: int = 1,
+                       scan_unroll: int = 2):
     """Jit ``step_fn`` with the first call's state shardings pinned as the
     in/out contract (donated state, batch sharded over ``data``, scalars
-    replicated). Returns ``bound(state, batch, lr_factor, rng)``."""
+    replicated). Returns ``bound(state, batch, lr_factor, rng)``.
+
+    With ``scan_steps > 1`` the bound step expects batch leaves with a
+    leading ``scan_steps`` dim and runs that many steps per dispatch via
+    ``lax.scan`` inside one jit (metrics are the window mean) — the same
+    multi-step window the shard_map path ships (train_step.py), now on the
+    GSPMD families (TP / FSDP / TP+FSDP) so ``--scan-steps`` composes with
+    every strategy."""
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    win_sh = NamedSharding(mesh, P(None, DATA_AXIS))  # (scan, batch, ...)
     repl = NamedSharding(mesh, P())
     _jit = None
+
+    if scan_steps > 1:
+        def window_fn(state, batches, lr_factor, rng):
+            def one(carry, batch):
+                return step_fn(carry, batch, lr_factor, rng)
+            unroll = scan_steps if scan_unroll in (0, None) else scan_unroll
+            state, ms = lax.scan(one, state, batches, unroll=int(unroll))
+            return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
+        run_fn, b_sh = window_fn, win_sh
+    else:
+        run_fn, b_sh = step_fn, batch_sh
 
     def bound(state, batch, lr_factor, rng):
         nonlocal _jit
         if _jit is None:
             state_sh = jax.tree.map(lambda x: x.sharding, state)
             _jit = jax.jit(
-                step_fn, donate_argnums=(0,),
+                run_fn, donate_argnums=(0,),
                 in_shardings=(state_sh,
-                              jax.tree.map(lambda _: batch_sh, batch),
+                              jax.tree.map(lambda _: b_sh, batch),
                               repl, repl),
                 out_shardings=(state_sh, {k: repl for k in METRIC_KEYS}))
         return _jit(state, batch, jnp.asarray(lr_factor, jnp.float32), rng)

@@ -76,9 +76,16 @@ def mesh_world(mesh: Mesh) -> int:
     return int(mesh.devices.size)
 
 
+# mesh axes that never carry the batch dimension: "model" replicates the
+# batch within a TP group (core/tensor_parallel.py), "spatial"/"pipe" carry
+# image rows / pipeline stages (core/spatial.py, core/pipeline.py)
+NON_BATCH_AXES = ("model", "spatial", "pipe")
+
+
 def batch_axes(mesh: Mesh) -> Tuple[str, ...]:
-    """Mesh axes the batch dimension is sharded over (all of them)."""
-    return tuple(mesh.axis_names)
+    """Mesh axes the batch dimension is sharded over (every axis except
+    the known non-batch ones)."""
+    return tuple(a for a in mesh.axis_names if a not in NON_BATCH_AXES)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

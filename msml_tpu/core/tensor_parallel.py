@@ -159,6 +159,40 @@ def tp_shardings(tree: Any, mesh: Mesh):
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def tp_fsdp_specs(tree: Any, n_model: int, n_data: int):
+    """TP x FSDP composition (both GSPMD hint families on one
+    ``("data", "model")`` mesh): residual blocks / the head keep the
+    Megatron column-row/class sharding over ``model``; every leaf TP
+    leaves fully replicated (stems, BN-adjacent convs, fc, OSB/U-Net, FM
+    towers, the peer teacher) is ZeRO-sharded over ``data`` by the
+    core/fsdp.py rules instead. The two families touch disjoint leaves,
+    so the composition is a per-leaf merge — and, as everywhere in the
+    GSPMD recipe, any assignment is semantics-preserving; the train step
+    stays the shared global-batch step."""
+    from flax import traverse_util
+
+    from msml_tpu.core.fsdp import _leaf_spec
+    tp = tp_specs(tree, n_model)
+    flat_t = traverse_util.flatten_dict(tree)
+    flat_s = traverse_util.flatten_dict(tp)
+    out = {}
+    for k, leaf in flat_t.items():
+        spec = flat_s[k]
+        if n_data > 1 and not any(ax is not None for ax in spec):
+            spec = _leaf_spec(leaf, n_data)  # P() again if nothing divides
+        out[k] = spec
+    return traverse_util.unflatten_dict(out)
+
+
+def tp_fsdp_shardings(tree: Any, mesh: Mesh):
+    """NamedSharding pytree from :func:`tp_fsdp_specs` for this mesh."""
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        tp_fsdp_specs(tree, int(mesh.shape[MODEL_AXIS]),
+                      int(mesh.shape[DATA_AXIS])),
+        is_leaf=lambda x: isinstance(x, P))
+
+
 def shard_params_tp(tree: Any, mesh: Mesh):
     """Place a host/replicated tree onto the mesh under the TP rules."""
     return jax.device_put(tree, tp_shardings(tree, mesh))
@@ -200,11 +234,15 @@ def make_tp_eval_step(model, params, batch_stats, mesh: Mesh):
     return bound
 
 
-def init_tp_train_state(model, cfg, rng, mesh: Mesh):
+def init_tp_train_state(model, cfg, rng, mesh: Mesh, fsdp: bool = False):
     """Like train_step.init_train_state, but weights/momentum/batch_stats
     are placed under the TP sharding rules (dense-head path; PartialFC
-    stays on the shard_map path with its own class sharding)."""
+    stays on the shard_map path with its own class sharding). With
+    ``fsdp=True``, TP-replicated leaves are additionally ZeRO-sharded over
+    ``data`` (:func:`tp_fsdp_specs`)."""
     from msml_tpu.train.train_step import TrainState
+    place = ((lambda t: jax.device_put(t, tp_fsdp_shardings(t, mesh)))
+             if fsdp else (lambda t: shard_params_tp(t, mesh)))
     h = w = 128 if cfg.is_gray else 112
     c = 1 if cfg.is_gray else 3
     x = jnp.zeros((2, h, w, c), jnp.float32)
@@ -212,10 +250,9 @@ def init_tp_train_state(model, cfg, rng, mesh: Mesh):
     ori = x if cfg.peer_params.get("use_ori") else None
     variables = model.init({"params": rng, "dropout": rng}, x, label, ori,
                            train=True)
-    params = shard_params_tp(variables["params"], mesh)
-    batch_stats = shard_params_tp(variables.get("batch_stats", {}), mesh)
-    momentum = shard_params_tp(optim.init_momentum(variables["params"]),
-                               mesh)
+    params = place(variables["params"])
+    batch_stats = place(variables.get("batch_stats", {}))
+    momentum = place(optim.init_momentum(variables["params"]))
     # the step counter must live on the SAME mesh (mixing a single-device
     # sharding into the jit's in_shardings is an error)
     step = jax.device_put(jnp.zeros((), jnp.int32),
@@ -224,14 +261,17 @@ def init_tp_train_state(model, cfg, rng, mesh: Mesh):
                       batch_stats=batch_stats, momentum=momentum)
 
 
-def make_tp_train_step(model, cfg, mesh: Mesh, lr_scales):
+def make_tp_train_step(model, cfg, mesh: Mesh, lr_scales,
+                       scan_steps: int = 1, scan_unroll: int = 2):
     """GSPMD training step over a ``("data", "model")`` mesh (dense heads).
 
     The step math is the shared GSPMD global-batch step
     (core/gspmd.py: same loss composition as the shard_map step) — no
     explicit collectives; XLA inserts the data-axis grad reductions and
     the model-axis block psums. BatchNorm is sync-BN (the documented
-    semantic difference from the per-shard shard_map path).
+    semantic difference from the per-shard shard_map path). The state's
+    own shardings are pinned on the first call, so the same step serves
+    plain TP and TP+FSDP layouts (init_tp_train_state(fsdp=True)).
 
     step(state, batch, lr_factor, rng) -> (state, metrics)
     """
@@ -241,4 +281,5 @@ def make_tp_train_step(model, cfg, mesh: Mesh, lr_scales):
     from msml_tpu.core.gspmd import (make_global_batch_step_fn,
                                      pin_first_call_jit)
     return pin_first_call_jit(
-        make_global_batch_step_fn(model, cfg, lr_scales), mesh)
+        make_global_batch_step_fn(model, cfg, lr_scales), mesh,
+        scan_steps=scan_steps, scan_unroll=scan_unroll)

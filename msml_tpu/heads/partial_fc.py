@@ -187,6 +187,15 @@ class PartialFC:
         if self.slice_axis is None:
             return row_label, None
         pod = lax.all_gather(total, self.slice_axis, tiled=True)
+        # Type-level invariance: the pod-wide label vector is identical on
+        # every slice by construction, but all_gather output stays
+        # 'varying'-typed in shard_map's vma system — which would taint the
+        # whole subset-selection -> sampled-weight-update chain as
+        # slice-varying and fail the out_spec P("data") replication check.
+        # One pmax over the slice axis (identity on identical values, a few
+        # tens of KB over DCN once per step) makes the invariance PROVABLE,
+        # so check_vma stays on for the multislice step.
+        pod = lax.pmax(pod, self.slice_axis)
         sel_label, _ = self._map_to_shard(pod, num_local)
         return row_label, sel_label
 

@@ -6,7 +6,13 @@ Maps the reference hot loop (`train.py:240-328`) onto a single
   reference (DDP/NCCL)                       here (ICI collectives)
   -----------------------------------------  ------------------------------
   DistributedSampler batch split             batch sharded P("data")
-  DDP gradient all-reduce (backward hook)    lax.psum of backbone grads
+  DDP gradient all-reduce (backward hook)    the AD transpose of the loss's
+                                             psum (vma-typed shard_map
+                                             inserts the cross-shard
+                                             cotangent psum; an explicit
+                                             grad psum would double-count
+                                             by world — see the clip-site
+                                             comment)
   per-rank BatchNorm (broadcast_buffers=F)   local BN stats in shard_map,
                                              pmean'd once per step
   AMP + MaxClipGradScaler                    bf16 compute policy (no scaler
@@ -38,12 +44,65 @@ from flax import struct
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from flax import traverse_util
+
 from msml_tpu.core.mesh import (DATA_AXIS, SLICE_AXIS, batch_axes,
                                 batch_sharding, class_sharding, mesh_world,
                                 replicated)
 from msml_tpu.heads.partial_fc import PartialFC, init_pfc_weight
 from msml_tpu.losses import structure_consensus_loss
 from msml_tpu.train import optim
+
+
+# --------------------------------------------------------------- FSDP helpers
+# ZeRO on the shard_map path: params/momentum leaves are sharded over the
+# ``data`` axis per core/fsdp.fsdp_specs; the step all-gathers each sharded
+# leaf where it is used (differentiably — AD's transpose of the tiled
+# all_gather IS the reduce-scatter of the ZeRO recipe, so sharded leaves'
+# grads arrive globally-summed-and-scattered with no explicit collective),
+# and the SGD update + momentum write stay shard-local. Composes with
+# PartialFC / scan windows / multi-slice because it is a modifier of the
+# same shard_map body, and keeps the reference's per-rank-BN DDP semantics
+# (unlike the GSPMD FSDP path in core/fsdp.py, which is sync-BN).
+
+def _spec_gather_dim(spec, axis: str):
+    """Dimension of ``spec`` sharded over ``axis`` (None = replicated)."""
+    for d, ax in enumerate(spec):
+        if ax == axis:
+            return d
+    return None
+
+
+def _fsdp_gather(tree, specs, axis: str = DATA_AXIS):
+    """All-gather every sharded leaf back to full shape (differentiable:
+    the transpose is psum_scatter). Must run inside shard_map."""
+    flat_t = traverse_util.flatten_dict(tree)
+    flat_s = traverse_util.flatten_dict(specs)
+    out = {}
+    for k, v in flat_t.items():
+        d = _spec_gather_dim(flat_s[k], axis)
+        out[k] = (v if d is None
+                  else lax.all_gather(v, axis, axis=d, tiled=True))
+    return traverse_util.unflatten_dict(out)
+
+
+def _fsdp_clip_by_global_norm(grads, specs, max_norm: float):
+    """optim.clip_by_global_norm with the norm assembled across shards:
+    sharded leaves contribute psum(local_sq) over ``data`` (their shards
+    partition the full grad), replicated leaves contribute directly."""
+    flat_g = traverse_util.flatten_dict(grads)
+    flat_s = traverse_util.flatten_dict(specs)
+    local_sq = jnp.float32(0.0)
+    repl_sq = jnp.float32(0.0)
+    for k, g in flat_g.items():
+        sq = jnp.sum(jnp.square(g.astype(jnp.float32)))
+        if _spec_gather_dim(flat_s[k], DATA_AXIS) is not None:
+            local_sq = local_sq + sq
+        else:
+            repl_sq = repl_sq + sq
+    norm = jnp.sqrt(repl_sq + lax.psum(local_sq, DATA_AXIS))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree.map(lambda g: g * scale, grads), norm
 
 
 class TrainState(struct.PyTreeNode):
@@ -56,9 +115,13 @@ class TrainState(struct.PyTreeNode):
 
 
 def init_train_state(model, cfg, rng, mesh: Mesh,
-                     use_pfc: bool = False) -> TrainState:
+                     use_pfc: bool = False,
+                     fsdp: bool = False) -> TrainState:
     """Initialise params on host then shard: everything replicated except the
-    PartialFC class-sharded weight."""
+    PartialFC class-sharded weight — and, with ``fsdp=True``, the params +
+    momentum trees, which are ZeRO-sharded over the ``data`` axis
+    (core/fsdp.py specs; the matching step is
+    ``make_train_step(..., fsdp=True)``)."""
     h = w = 128 if cfg.is_gray else 112
     c = 1 if cfg.is_gray else 3
     x = jnp.zeros((2, h, w, c), jnp.float32)
@@ -69,9 +132,14 @@ def init_train_state(model, cfg, rng, mesh: Mesh,
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     repl = replicated(mesh)
-    params = jax.device_put(params, repl)
+    if fsdp:
+        from msml_tpu.core.fsdp import shard_params_fsdp
+        params = shard_params_fsdp(params, mesh)
+        momentum = shard_params_fsdp(optim.init_momentum(params), mesh)
+    else:
+        params = jax.device_put(params, repl)
+        momentum = jax.device_put(optim.init_momentum(params), repl)
     batch_stats = jax.device_put(batch_stats, repl)
-    momentum = jax.device_put(optim.init_momentum(params), repl)
 
     pfc_weight = pfc_momentum = None
     if use_pfc:
@@ -89,7 +157,7 @@ def init_train_state(model, cfg, rng, mesh: Mesh,
 
 def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                     pfc: Optional[PartialFC] = None, scan_steps: int = 1,
-                    scan_unroll: int = 2):
+                    scan_unroll: int = 2, fsdp: bool = False):
     """Build the jitted SPMD train step.
 
     step(state, batch, lr_factor, rng) -> (state, metrics)
@@ -103,6 +171,10 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                    measurable per-iteration overhead (~7% of step time in
                    the round-3 trace); unrolling removes it and lets XLA
                    schedule across step boundaries. Numerics unchanged.
+      fsdp: ZeRO-shard params + momentum over ``data`` (state from
+            ``init_train_state(..., fsdp=True)``); see the FSDP helpers
+            above. Numerically equal to the replicated step up to float
+            reassociation, and composes with pfc / scan_steps / slices.
     """
     use_osb = bool(cfg.use_osb)
     use_ori = bool(cfg.peer_params.get("use_ori"))
@@ -141,8 +213,21 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                     and pfc.num_sample(world) < pfc.num_local(world))
     pfc_base_lr = cfg.lr / 512.0 * cfg.batch_size * world_total
     axis = DATA_AXIS
+    # FSDP param/momentum specs are computed lazily from the first state's
+    # GLOBAL leaf shapes (shard_body sees local shards, whose shapes would
+    # mis-derive the divisibility rules), then closed over everywhere.
+    _fsdp_cell = {}
+
+    def _p_specs(state_params):
+        if not fsdp:
+            return None
+        if "specs" not in _fsdp_cell:
+            from msml_tpu.core.fsdp import fsdp_specs
+            _fsdp_cell["specs"] = fsdp_specs(state_params, int(world))
+        return _fsdp_cell["specs"]
 
     def shard_body(state: TrainState, batch, lr_factor, rng):
+        p_specs = _fsdp_cell.get("specs")
         my = lax.axis_index(axis)
         if slice_axis is not None:
             my = lax.axis_index(slice_axis) * world + my
@@ -173,6 +258,10 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                 mode="promise_in_bounds")
 
         def loss_fn(params, pfc_weight):
+            if p_specs is not None:
+                # differentiable un-shard: AD's transpose of this gather is
+                # the ZeRO reduce-scatter of the backbone grads
+                params = _fsdp_gather(params, p_specs)
             variables = {"params": params, "batch_stats": state.batch_stats}
             outs, mutated = model.apply(
                 variables, img, None if use_pfc else label, ori,
@@ -236,14 +325,36 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
                 loss_fn, has_aux=True)(state.params, None)
             pfc_grad = None
 
-        # DDP-equivalent: sum partial per-shard grads into the true gradient
-        bb_grads = lax.psum(bb_grads, all_axes)
         if use_pfc and slice_axis is not None:
-            # slice replicas hold 1/S-scaled per-slice grads of the same
-            # weight rows (pmean transpose): one cross-slice (DCN) psum
-            # makes the replicated shard's update consistent
+            # The PFC weight is data-sharded but slice-REPLICATED
+            # (partially varying): unlike the fully-invariant backbone
+            # params below, its cotangent arrives as the per-slice
+            # partial (1/S-scaled by the cls pmean transpose) — the vma
+            # machinery only auto-reduces cotangents of fully-invariant
+            # inputs. One explicit cross-slice (DCN) psum completes the
+            # sum AND restores the slice-invariance typing the out_spec
+            # P("data") requires (check_vma verifies it).
             pfc_grad = lax.psum(pfc_grad, slice_axis)
-        bb_grads, gnorm = optim.clip_by_global_norm(bb_grads, clip_norm)
+        # The backbone grads ARE already the true gradient of the
+        # global-mean loss:
+        # under shard_map's vma-typed AD, differentiating the psum'd
+        # (device-invariant) loss w.r.t. the device-invariant params
+        # inserts the cross-shard cotangent psum automatically, and the
+        # FSDP gather's transpose is the reduce-scatter. An explicit
+        # lax.psum here would DOUBLE-COUNT by world_size — the round-1..3
+        # builds carried exactly that bug on this path (masked by the
+        # always-engaged clip early in training and by every equality
+        # test comparing shard_map against shard_map); caught round 4 by
+        # the single-device oracle (tests/test_train_step.py::
+        # test_grad_scale_matches_single_device_oracle), and verified by
+        # direct probe: explicit-psum grads measure exactly world x the
+        # single-device gradient. DDP-mean equivalence holds as written:
+        # grad of the global-mean loss == torch DDP's averaged gradient.
+        if p_specs is None:
+            bb_grads, gnorm = optim.clip_by_global_norm(bb_grads, clip_norm)
+        else:
+            bb_grads, gnorm = _fsdp_clip_by_global_norm(bb_grads, p_specs,
+                                                        clip_norm)
 
         new_params, new_momentum = optim.sgd_update(
             state.params, bb_grads, state.momentum, lr_scales, lr_factor,
@@ -273,11 +384,14 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
         return new_state, metrics
 
     def _state_spec(state: TrainState) -> TrainState:
+        p_specs = _p_specs(state.params)
+        if p_specs is None:
+            p_specs = jax.tree.map(lambda _: P(), state.params)
         return TrainState(
             step=P(),
-            params=jax.tree.map(lambda _: P(), state.params),
+            params=p_specs,
             batch_stats=jax.tree.map(lambda _: P(), state.batch_stats),
-            momentum=jax.tree.map(lambda _: P(), state.momentum),
+            momentum=p_specs,
             pfc_weight=P(axis) if state.pfc_weight is not None else None,
             pfc_momentum=P(axis) if state.pfc_momentum is not None else None)
 
@@ -286,13 +400,13 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
 
     b_axes = batch_axes(mesh)
 
-    # On multi-slice meshes the static replication checker cannot infer
-    # that the PFC weight/momentum stay slice-replicated (the update is
-    # provably slice-invariant: pod-wide selection labels + data-only rng
-    # fold + cross-slice-psum'd grads — but the VMA analysis can't follow
-    # that algebra). Disabled ONLY for that case; the bit-identical-replica
-    # regression test covers it empirically (tests/test_multislice.py).
-    _sm_kwargs = {"check_vma": False} if (slice_axis and use_pfc) else {}
+    # check_vma stays ON for every mesh/head combination: the vma-typed AD
+    # is what makes the in-body gradients carry the correct global scale
+    # (see the comment at the clip site) — disabling it switches psum's
+    # transpose to psum and every gradient would arrive world_size x too
+    # large. Round 3 disabled it for multislice+PFC because the explicit
+    # grad psums confused the replication checker; with those psums gone
+    # the typed path checks clean.
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr_factor, rng):
@@ -301,8 +415,7 @@ def make_train_step(model, cfg, mesh: Mesh, lr_scales,
             in_specs=(_state_spec(state),
                       jax.tree.map(lambda _: P(b_axes), batch), P(), P()),
             out_specs=(_state_spec(state),
-                       {k: P() for k in _metric_keys}),
-            **_sm_kwargs)
+                       {k: P() for k in _metric_keys}))
         return body(state, batch, lr_factor, rng)
 
     def bound_step(state, batch, lr_factor, rng):

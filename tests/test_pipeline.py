@@ -40,6 +40,7 @@ def test_pipeline_matches_sequential_toy(n_stages, microbatches):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_pipeline_real_iresnet_blocks():
     """Six real IBasicBlocks (stride 1, eval mode) pipelined over 2 and 4
     stages == the sequential fold."""
@@ -114,3 +115,146 @@ def test_make_pipeline_apply_reuses_executable():
     assert apply._pipelined._cache_size() == 1
     with pytest.raises(ValueError):  # batch 5 % microbatches 2
         apply(jnp.zeros((5, 8, 8, 4)))
+
+
+# --------------------------------------------------------- GPipe training
+
+def _mse_loss(y, t):
+    return jnp.mean(jnp.square(y - t))
+
+
+@pytest.mark.parametrize("n_stages,microbatches", [(2, 4), (4, 2)])
+def test_pipeline_grads_match_sequential(n_stages, microbatches):
+    """Differentiating through the pipelined forward == jax.value_and_grad
+    of the sequential fold: loss exact, per-block grads allclose (the
+    backward replays the ring in reverse; reductions reassociate)."""
+    from msml_tpu.core.pipeline import make_pipeline_value_and_grad
+
+    rng = np.random.RandomState(2)
+    L, C = 8, 16
+    blocks = [{"w": jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32)
+                                * 0.1),
+               "b": jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)}
+              for _ in range(L)]
+    x = jnp.asarray(rng.randn(8, 8, 8, C).astype(np.float32))
+    t = jnp.asarray(rng.randn(8, 8, 8, C).astype(np.float32))
+    stacked = stack_block_params(blocks)
+
+    def seq_loss(stacked_p):
+        def body(h, p_one):
+            return _toy_block(p_one, h), None
+        y, _ = jax.lax.scan(body, x, stacked_p)
+        # microbatch-mean of per-microbatch MSE == full-batch MSE
+        return _mse_loss(y, t)
+
+    ref_loss, ref_grads = jax.value_and_grad(seq_loss)(stacked)
+
+    mesh = make_pipe_mesh(n_stages)
+    vag = make_pipeline_value_and_grad(_toy_block, _mse_loss, mesh, L,
+                                       microbatches)
+    mb = x.shape[0] // microbatches
+    xm = x.reshape((microbatches, mb) + x.shape[1:])
+    tm = t.reshape((microbatches, mb) + t.shape[1:])
+    loss, grads = vag(stacked, xm, tm)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+    jax.tree.map(lambda g, r: np.testing.assert_allclose(
+        np.asarray(g), np.asarray(r), rtol=2e-5, atol=1e-6), grads,
+        ref_grads)
+
+
+def test_pipeline_train_step_matches_sequential_sgd():
+    """Three pipelined GPipe SGD steps == three sequential (data-parallel
+    equivalent) SGD steps on the same stack — params and losses."""
+    from msml_tpu.core.pipeline import make_pipeline_train_step
+
+    rng = np.random.RandomState(3)
+    L, C = 4, 8
+    blocks = [{"w": jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32)
+                                * 0.1),
+               "b": jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)}
+              for _ in range(L)]
+    stacked = stack_block_params(blocks)
+    lr, mu, wd = 0.05, 0.9, 1e-4
+
+    mesh = make_pipe_mesh(2)
+    state, step = make_pipeline_train_step(
+        _toy_block, _mse_loss, stacked, mesh, microbatches=4,
+        lr=lr, momentum=mu, weight_decay=wd)
+
+    # reference: plain single-program SGD on the same stacked params
+    def seq_loss(p, x, t):
+        def body(h, p_one):
+            return _toy_block(p_one, h), None
+        y, _ = jax.lax.scan(body, x, p)
+        return _mse_loss(y, t)
+
+    ref_p = stacked
+    ref_m = jax.tree.map(jnp.zeros_like, stacked)
+    for s in range(3):
+        x = jnp.asarray(rng.randn(8, 8, 8, C).astype(np.float32))
+        t = jnp.asarray(rng.randn(8, 8, 8, C).astype(np.float32))
+        rl, rg = jax.value_and_grad(seq_loss)(ref_p, x, t)
+        upd = jax.tree.map(
+            lambda pl, gl, ml: (lambda g: (pl - lr * (mu * ml + g),
+                                           mu * ml + g))(gl + wd * pl),
+            ref_p, rg, ref_m)
+        ref_p = jax.tree.map(lambda u: u[0], upd,
+                             is_leaf=lambda u: isinstance(u, tuple))
+        ref_m = jax.tree.map(lambda u: u[1], upd,
+                             is_leaf=lambda u: isinstance(u, tuple))
+        state, loss = step(state, x, t)
+        np.testing.assert_allclose(float(loss), float(rl), rtol=1e-5,
+                                   err_msg=f"step {s}")
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6),
+        state[0], ref_p)
+    # the state really is stage-sharded (the PP point: per-stage params
+    # AND momentum live only on their stage)
+    w = jax.tree.leaves(state[0])[0]
+    assert not w.sharding.is_fully_replicated
+    m0 = jax.tree.leaves(state[1])[0]
+    assert not m0.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_pipeline_training_real_iresnet_stage():
+    """GPipe training of an iresnet stage stack (8 IBasicBlocks at the
+    14^2 x 256 stage-3 shape iResNet-100 has 30 of) over 4 stages:
+    grads match the sequential fold's — VERDICT r3 #5's acceptance."""
+    from msml_tpu.core.pipeline import make_pipeline_value_and_grad
+    from msml_tpu.nn.iresnet import IBasicBlock
+
+    block = IBasicBlock(planes=256, stride=1, use_downsample=False)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 14, 14, 256).astype(np.float32) * 0.5)
+    t = jnp.asarray(rng.randn(4, 14, 14, 256).astype(np.float32))
+    variables = [block.init(jax.random.PRNGKey(i), x, train=True)
+                 for i in range(8)]
+
+    def block_fn(v, h):
+        # train-mode forward with frozen BN stats (per-microbatch BN batch
+        # stats differ between pipeline (mb) and sequential (full batch)
+        # by construction; grads wrt params are what PP must preserve)
+        return block.apply(v, h, train=False)
+
+    def seq_loss(stacked_v):
+        def body(h, v_one):
+            return block_fn(v_one, h), None
+        y, _ = jax.lax.scan(body, x, stacked_v)
+        return _mse_loss(y, t)
+
+    stacked = stack_block_params(variables)
+    ref_loss, ref_grads = jax.value_and_grad(seq_loss)(stacked)
+
+    vag = make_pipeline_value_and_grad(block_fn, _mse_loss,
+                                       make_pipe_mesh(4), 8,
+                                       microbatches=2)
+    xm = x.reshape((2, 2) + x.shape[1:])
+    tm = t.reshape((2, 2) + t.shape[1:])
+    loss, grads = vag(stacked, xm, tm)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+    jax.tree.map(lambda g, r: np.testing.assert_allclose(
+        np.asarray(g), np.asarray(r), rtol=5e-5, atol=2e-6), grads,
+        ref_grads)

@@ -238,3 +238,33 @@ def test_eval_step_sharded_with_padding():
                  jnp.concatenate([img, img[:5]]))
     np.testing.assert_allclose(np.asarray(feats25[:11]), np.asarray(feats),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_grad_scale_matches_single_device_oracle():
+    """The pre-clip gradient scale is world-invariant: the 8-device
+    shard_map step's grad_norm must match the 1-device step's (where every
+    psum is an identity, so its AD is trivially correct) on the same
+    global batch up to per-shard-BN differences. Guards against the grad
+    double-count the round-1..3 builds carried (explicit psum of grads
+    that vma-typed AD had already reduced — exactly world x too large,
+    invisible to every shard_map-vs-shard_map equality test and masked by
+    the always-engaged clip early in training)."""
+    import numpy as _np
+    cfg = _cfg(batch_size=4)
+    model = msml_from_config(cfg, policy=FULL_PRECISION)
+    rng = jax.random.PRNGKey(0)
+    b = synthetic_batch(32, size=112, num_classes=cfg.num_classes, seed=5)
+    del b["ori"]
+    norms = {}
+    for ndev in (1, 8):
+        mesh = make_mesh(jax.devices()[:ndev])
+        state = init_train_state(model, cfg, rng, mesh)
+        scales = optim.build_lr_scales(state.params, cfg, ndev)
+        step = make_train_step(model, cfg, mesh, scales)
+        _, m = step(state, b, 1.0, rng)
+        norms[ndev] = float(m["grad_norm"])
+        assert _np.isfinite(norms[ndev])
+    ratio = norms[8] / norms[1]
+    # per-shard BN (batch 4/shard vs 32) perturbs the norm by a few
+    # percent; the double-count bug makes the ratio ~= 8
+    assert 0.7 < ratio < 1.4, norms
