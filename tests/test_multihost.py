@@ -182,12 +182,12 @@ TRAIN_CHILD = textwrap.dedent("""
     for batch in device_prefetch(feed, mesh):
         state, metrics = step_fn(state, batch, 1.0, rng)
         losses.append(float(metrics["total_loss"]))
-    psum = float(sum(float(jnp.sum(jnp.abs(x).astype(jnp.float64)))
-                     for x in jax.tree.leaves(jax.device_get(state.params))))
-    # pfc_weight spans both processes -> sum this process's shards only;
-    # the test adds the two ranks' partial sums
-    pfc = float(sum(float(jnp.sum(jnp.abs(s.data).astype(jnp.float64)))
-                    for s in state.pfc_weight.addressable_shards))
+    # jitted global checksum: works for replicated AND fsdp-sharded trees
+    # across processes (device_get of non-addressable arrays does not)
+    csum = jax.jit(lambda t: sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+                                 for x in jax.tree.leaves(t)))
+    psum = float(csum(state.params))
+    pfc = float(csum(state.pfc_weight))
     print("RESULT" + str(pid) + json.dumps(
         {"losses": losses, "param_abs_sum": psum, "pfc_abs_sum": pfc}),
         flush=True)
@@ -226,10 +226,10 @@ TRAIN_SINGLE = textwrap.dedent("""
                  for k in parts[0] if k != "ori"}
         state, metrics = step_fn(state, batch, 1.0, rng)
         losses.append(float(metrics["total_loss"]))
-    psum = float(sum(float(jnp.sum(jnp.abs(x).astype(jnp.float64)))
-                     for x in jax.tree.leaves(jax.device_get(state.params))))
-    pfc = float(jnp.sum(jnp.abs(
-        jax.device_get(state.pfc_weight)).astype(jnp.float64)))
+    csum = jax.jit(lambda t: sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+                                 for x in jax.tree.leaves(t)))
+    psum = float(csum(state.params))
+    pfc = float(csum(state.pfc_weight))
     print("RESULT0" + json.dumps(
         {"losses": losses, "param_abs_sum": psum, "pfc_abs_sum": pfc}),
         flush=True)
@@ -243,6 +243,7 @@ TRAIN_COMMON = textwrap.dedent("""
     NUM_CLASSES, BS, STEPS = 64, 4, 2
 
     def build_step(mesh):
+        import os
         from msml_tpu.core.config import Config, config_init
         from msml_tpu.core.precision import DEFAULT_POLICY
         from msml_tpu.heads.margin import get_margin_fn
@@ -251,6 +252,10 @@ TRAIN_COMMON = textwrap.dedent("""
         from msml_tpu.train import optim
         from msml_tpu.train.train_step import (init_train_state,
                                                make_train_step)
+
+        # MSML_MH_FSDP=1: the fsdp x pfc x multihost composition — params
+        # + momentum ZeRO-sharded across the 2-process mesh
+        fsdp = os.environ.get("MSML_MH_FSDP") == "1"
 
         cfg = Config.from_dict({
             "dataset": "synthetic", "fp16": True, "batch_size": BS,
@@ -274,20 +279,16 @@ TRAIN_COMMON = textwrap.dedent("""
         model = msml_from_config(cfg, policy=DEFAULT_POLICY,
                                  external_header=True)
         rng = jax.random.PRNGKey(0)
-        state = init_train_state(model, cfg, rng, mesh, use_pfc=True)
+        state = init_train_state(model, cfg, rng, mesh, use_pfc=True,
+                                 fsdp=fsdp)
         lr_scales = optim.build_lr_scales(state.params, cfg,
                                           jax.device_count())
-        step = make_train_step(model, cfg, mesh, lr_scales, pfc)
+        step = make_train_step(model, cfg, mesh, lr_scales, pfc, fsdp=fsdp)
         return state, step
 """)
 
 
-@__import__("pytest").mark.slow
-def test_two_process_train_step_matches_single_process(tmp_path):
-    """VERDICT r2 weak #3: the full SPMD train step (psum'd grads, pmean'd
-    BN stats, class-sharded sampled PartialFC) must produce identical
-    losses and final params when run across 2 processes x 2 devices vs one
-    process x 4 devices on the same global data."""
+def _run_train_parity(tmp_path, fsdp: bool):
     import json
     import re
 
@@ -298,6 +299,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     single.write_text(TRAIN_SINGLE % {"repo": REPO})
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    env["MSML_MH_FSDP"] = "1" if fsdp else "0"
 
     # serialize on low-core boxes: the single-process run first (it warms
     # the shared compilation cache), then the 2-process pair (they must be
@@ -324,9 +326,12 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         return json.loads(m.group(1))
 
     r0, r1, rs = (result(o) for o in outs)
-    # both ranks of the 2-process run agree exactly (replicated state)
+    # both ranks of the 2-process run agree exactly (the jitted global
+    # checksum is a replicated scalar)
     assert r0["losses"] == r1["losses"]
     np.testing.assert_allclose(r0["param_abs_sum"], r1["param_abs_sum"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(r0["pfc_abs_sum"], r1["pfc_abs_sum"],
                                rtol=1e-12)
     # 2x2 topology matches 1x4 on the same global batches. Tolerances are
     # bf16-bounded, not exact: the two topologies lower different reduction
@@ -338,8 +343,26 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(r0["losses"], rs["losses"], rtol=2e-3)
     np.testing.assert_allclose(r0["param_abs_sum"], rs["param_abs_sum"],
                                rtol=1e-3)
-    np.testing.assert_allclose(r0["pfc_abs_sum"] + r1["pfc_abs_sum"],
-                               rs["pfc_abs_sum"], rtol=1e-3)
+    np.testing.assert_allclose(r0["pfc_abs_sum"], rs["pfc_abs_sum"],
+                               rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """VERDICT r2 weak #3: the full SPMD train step (psum'd grads, pmean'd
+    BN stats, class-sharded sampled PartialFC) must produce identical
+    losses and final params when run across 2 processes x 2 devices vs one
+    process x 4 devices on the same global data."""
+    _run_train_parity(tmp_path, fsdp=False)
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_pfc_matches_single_process(tmp_path):
+    """fsdp x PartialFC x multihost (the full shard_map composition): the
+    ZeRO-sharded step across 2 real processes equals the 1x4 run — params
+    and momentum live sharded ACROSS the process boundary and the batch
+    assembly/jitted-checksum paths must handle non-addressable leaves."""
+    _run_train_parity(tmp_path, fsdp=True)
 
 
 @__import__("pytest").mark.slow
