@@ -2,8 +2,11 @@
 ygtxr1997/MSML (AAAI-2022 occlusion-robust face recognition).
 
 Built from scratch for TPU: NHWC layouts for the MXU, bf16 compute / f32 params,
-SPMD over a jax.sharding.Mesh (data + class-sharded PartialFC softmax), Pallas
-kernels for hot fused ops, and a host-side C++ tool library for offline prep.
+SPMD over a jax.sharding.Mesh (data + class-sharded PartialFC softmax), an
+on-device Pallas augmentation kernel (kernels/augment.py; candidate compute
+kernels are measured against XLA's lowering and shipped only when they win —
+see PERF.md / benchmarks/negative/), and a host-side C++ tool library for
+offline prep.
 
 Reference capability map: see SURVEY.md at the repo root; every public module
 docstring cites the reference file:line it provides parity with.

@@ -89,10 +89,14 @@ def batch_axes(mesh: Mesh) -> Tuple[str, ...]:
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
-    """Per-device batch: the batch dim shards over EVERY mesh axis."""
-    n = mesh_world(mesh)
+    """Per-device batch: the batch dim shards over the batch axes only
+    (``batch_axes``) — on a (data, model) TP mesh the batch is replicated
+    within a TP group, so only the data axis divides it."""
+    import math
+    n = math.prod(int(mesh.shape[a]) for a in batch_axes(mesh)) or 1
     if global_batch % n != 0:
-        raise ValueError(f"global batch {global_batch} not divisible by mesh size {n}")
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"batch-axis product {n}")
     return global_batch // n
 
 

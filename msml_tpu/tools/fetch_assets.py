@@ -103,15 +103,20 @@ def _gdrive_confirm(body: bytes, url: str):
     return None
 
 
-def fetch_url(url: str, dest_path: str) -> None:
-    """Stream url -> dest_path (temp file + atomic rename); follows one
-    Google-Drive confirm hop."""
+def fetch_url(url: str, dest_path: str, hops: int = 0) -> None:
+    """Stream url -> dest_path (temp file + atomic rename); follows at most
+    two Google-Drive confirm hops, then fails loudly (a server that keeps
+    answering with confirm pages must not recurse to the stack limit)."""
     req = urllib.request.Request(url, headers={"User-Agent": "msml-fetch"})
     with urllib.request.urlopen(req, timeout=TIMEOUT) as r:
         head = r.read(4096)
         follow = _gdrive_confirm(head, url) if "drive.google" in url else None
         if follow:
-            return fetch_url(follow, dest_path)
+            if hops >= 2:
+                raise RuntimeError(
+                    f"Google Drive kept answering with confirm pages after "
+                    f"{hops} hops for {url!r} — download it manually")
+            return fetch_url(follow, dest_path, hops=hops + 1)
         tmp = dest_path + ".part"
         with open(tmp, "wb") as f:
             f.write(head)
