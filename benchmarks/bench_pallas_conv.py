@@ -1,0 +1,176 @@
+"""A/B: Pallas implicit-GEMM conv (kernels/conv_gemm.py) vs XLA's
+lowering at the C=64 hot shapes (VERDICT r4 #1 — the one restructuring
+family never measured; every XLA-level rewrite was falsified r2-r4).
+
+Measures, at 3x3 stride-1 SAME, B=128, bf16:
+  - XLA conv fwd / dX / dW                       (NHWC, the production op)
+  - Pallas kernel fwd / dX / dW on pre-packed data   (steady-state cost if
+    a whole stage lived in the batch-in-lanes layout)
+  - Pallas fwd incl. NHWC<->lanes conversion     (drop-in op cost)
+
+at 112^2 x 64->64 (stem/layer1) and 56^2 x 64->64 (layer1 tail).
+
+In-jit fori_loop harness (host dispatch through the axon tunnel costs
+~2 ms — same order as the ops), matching bench_channel_pad.py so numbers
+are directly comparable with the r4 table.
+
+python benchmarks/bench_pallas_conv.py [--rows N] [--iters N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from msml_tpu.core.tpu_flags import apply_tuned_flags, flag_cache_dir  # noqa: E402
+
+apply_tuned_flags()
+jax.config.update("jax_compilation_cache_dir",
+                  flag_cache_dir("/tmp/msml_jax_cache_tpu"))
+
+from msml_tpu.kernels import conv_gemm as cg  # noqa: E402
+
+B = 128
+
+
+def conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def timed(fn, *args, iters=30):
+    first, rest = args[0], args[1:]
+
+    @jax.jit
+    def loop(first, *rest):
+        def body(_, c):
+            o = fn(first + c.astype(first.dtype), *rest)
+            return jnp.ravel(o)[0].astype(jnp.float32) * 1e-12
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    out = loop(first, *rest)
+    float(out)
+    t0 = time.perf_counter()
+    out = loop(first, *rest)
+    float(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def check(name, a, b, tol):
+    err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                - b.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) or 1.0
+    ok = err / scale < tol
+    print(f"  parity {name}: max_abs={err:.4g} rel={err / scale:.2e} "
+          f"{'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--rows", type=int, default=0,
+                    help="rows per Pallas program (0 = sweep 14/28/56)")
+    ap.add_argument("--out-json", type=str, default="")
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    results = {}
+    for hw, bt in ((112, 8), (56, 16)):
+        Ci = Co = 64
+        tag = f"{hw}x{hw}x{Ci}"
+        print(f"== {tag} (bt={bt}, L={bt * hw}) ==")
+        x = jnp.asarray(rng.randn(B, hw, hw, Ci), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, Ci, Co) * 0.05, jnp.bfloat16)
+        dy = jnp.asarray(rng.randn(B, hw, hw, Co), jnp.bfloat16)
+        flops1 = 2 * B * hw * hw * 9 * Ci * Co
+
+        # ---- XLA baseline
+        def dx_fn(dy_, w_, x_=x):
+            _, f = jax.vjp(lambda xx: conv(xx, w_), x_)
+            return f(dy_)[0]
+
+        def dw_fn(dy_, x_, w_=w):
+            _, f = jax.vjp(lambda ww: conv(x_, ww), w_)
+            return f(dy_)[0]
+
+        row = {"xla_fwd_ms": round(timed(conv, x, w, iters=args.iters), 3),
+               "xla_dx_ms": round(timed(dx_fn, dy, w, iters=args.iters), 3),
+               "xla_dw_ms": round(timed(dw_fn, dy, x, iters=args.iters), 3)}
+
+        # ---- Pallas, pre-packed operands (steady-state layout)
+        xt = jnp.pad(cg.to_lanes(x, bt), ((0, 0), (1, 1), (0, 0), (0, 0)))
+        dyt_p = jnp.pad(cg.to_lanes(dy, bt),
+                        ((0, 0), (1, 1), (0, 0), (0, 0)))
+        dyt = cg.to_lanes(dy, bt)
+        wcat = cg.pack_weights(w)
+        wflip = cg.pack_weights(cg.flip_weights(w))
+
+        # one-time parity proof on-device (f32 reference via XLA)
+        ok = check("fwd", cg.from_lanes(
+            cg.conv3x3_lanes(xt, wcat, hw, rows=28), bt), conv(x, w), 2e-2)
+        ok &= check("dx", cg.from_lanes(
+            cg.conv3x3_lanes(dyt_p, wflip, hw, rows=28), bt),
+            dx_fn(dy, w), 2e-2)
+        ok &= check("dw", cg.unpack_dw(
+            cg.conv3x3_dw_lanes(xt, dyt, hw, rows=28), Ci, Co),
+            dw_fn(dy, x), 2e-2)
+        row["parity_ok"] = bool(ok)
+
+        rows_cands = [args.rows] if args.rows else [14, 28, 56]
+        best = None
+        for R in rows_cands:
+            if hw % R:
+                continue
+            f_ms = timed(lambda a, b: cg.conv3x3_lanes(a, b, hw, rows=R),
+                         xt, wcat, iters=args.iters)
+            d_ms = timed(lambda a, b: cg.conv3x3_dw_lanes(a, b, hw, rows=R),
+                         xt, dyt, iters=args.iters)
+            print(f"  rows={R}: pallas fwd {f_ms:.3f} ms, dw {d_ms:.3f} ms")
+            if best is None or f_ms < best[1]:
+                best = (R, f_ms, d_ms)
+        R, f_ms, d_ms = best
+        row.update(pallas_rows=R, pallas_fwd_ms=round(f_ms, 3),
+                   pallas_dx_ms=round(f_ms, 3),  # same kernel, flipped W
+                   pallas_dw_ms=round(d_ms, 3))
+
+        # drop-in cost: conversion in + kernel + conversion out
+        conv_in_out = timed(
+            lambda a, b: cg.conv3x3_gemm(a, b, bt=bt, rows=R), x, w,
+            iters=args.iters)
+        row["pallas_fwd_with_layout_ms"] = round(conv_in_out, 3)
+
+        row["fwd_speedup"] = round(row["xla_fwd_ms"] / row["pallas_fwd_ms"],
+                                   3)
+        row["dw_speedup"] = round(row["xla_dw_ms"] / row["pallas_dw_ms"], 3)
+        row["fwd_speedup_with_layout"] = round(
+            row["xla_fwd_ms"] / row["pallas_fwd_with_layout_ms"], 3)
+        row["pallas_fwd_tflops"] = round(
+            flops1 / row["pallas_fwd_ms"] / 1e9, 1)
+        row["xla_fwd_tflops"] = round(flops1 / row["xla_fwd_ms"] / 1e9, 1)
+        print(f"  XLA fwd {row['xla_fwd_ms']} ms ({row['xla_fwd_tflops']} "
+              f"TF/s) vs pallas {row['pallas_fwd_ms']} ms "
+              f"({row['pallas_fwd_tflops']} TF/s) -> "
+              f"{row['fwd_speedup']}x  (with layout: "
+              f"{row['fwd_speedup_with_layout']}x); "
+              f"dW {row['xla_dw_ms']} -> {row['pallas_dw_ms']} ms "
+              f"({row['dw_speedup']}x)")
+        results[tag] = row
+
+    print(json.dumps(results, indent=2))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
