@@ -99,6 +99,13 @@ class IResNet(nn.Module):
     fm_ops: Sequence[nn.Module] = ()
     use_decoder: bool = False
     decoder_loss_weight: float = 0.0
+    width_mult: int = 1  # channel-width multiplier (TPU capacity dividend,
+    #                      PERF.md r4 channel-pad finding: on v5e the C=64
+    #                      stages leave half the MXU lanes idle, so 2x width
+    #                      costs ~1.1x step time — an accuracy knob the GPU
+    #                      reference could never afford. width_mult > 1 is a
+    #                      documented NON-PARITY variant (reference
+    #                      iresnet.py:70-236 is fixed-width)
     remat: object = False  # rematerialize stages: trade recompute FLOPs for
     #                        activation HBM traffic. True = all 4 stages;
     #                        a sequence of stage numbers (e.g. (3, 4)) remats
@@ -115,12 +122,13 @@ class IResNet(nn.Module):
         cdt = self.policy.compute_dtype
         x = x.astype(cdt)
 
-        x = conv3x3(64, 1, dtype=cdt, name="conv1")(x)
+        wm = int(self.width_mult)
+        x = conv3x3(64 * wm, 1, dtype=cdt, name="conv1")(x)
         x = batch_norm(train, cdt, name="bn1")(x)
         x = PReLU(cdt, name="prelu")(x)
 
         remat_stages = remat_stage_set(self.remat)
-        planes = (64, 128, 256, 512)
+        planes = (64 * wm, 128 * wm, 256 * wm, 512 * wm)
         kd_losses = []
         for i in range(4):
             stage_cls = (nn.remat(ResStage, static_argnums=(2,))

@@ -66,6 +66,9 @@ class MSML(nn.Module):
     # remats only those FRB stages (OSB stays un-rematted then)
     remat: object = False
     remat_fm: bool = False
+    width_mult: int = 1  # FRB channel-width multiplier (iresnet only; a
+    #                      documented non-parity capacity knob — see
+    #                      nn/iresnet.py and PERF.md "width dividend")
     kd_metric: bool = True  # False: skip the KD-metric-only conv2 tower
     #                         (legal when kd_loss_weight == 0; see nn/fm.py)
     policy: Policy = DEFAULT_POLICY
@@ -81,6 +84,12 @@ class MSML(nn.Module):
             self.frb_type)
         self.input_size, self.gray = input_size, gray
         self.dim_feature = dim_feature
+
+        wm = int(self.width_mult)
+        if wm > 1:
+            if "lightcnn" in self.frb_type:
+                raise ValueError("width_mult > 1 is an iresnet-FRB knob")
+            f_channels = tuple(c * wm for c in f_channels)
 
         kernel_size, num_res, act, arith = self.fm_params
         # remat_fm: rematerialize only the FM operators in the backward —
@@ -116,7 +125,7 @@ class MSML(nn.Module):
                                dropout=self.dropout, fm_ops=fm_ops,
                                use_decoder=self.use_decoder,
                                decoder_loss_weight=self.decoder_loss_weight,
-                               remat=self.remat,
+                               remat=self.remat, width_mult=wm,
                                policy=self.policy, name="frb")
             if self.use_ori:
                 self.peer = PeerIResNet(layers=layers,
@@ -204,6 +213,7 @@ def msml_from_config(cfg, policy: Policy | None = None,
         external_header=external_header,
         remat=cfg.get("remat", False),
         remat_fm=bool(cfg.get("remat_fm", False)),
+        width_mult=int(cfg.get("width_mult", 1)),
         kd_metric=_check_kd_metric(cfg),
         policy=policy,
     )
