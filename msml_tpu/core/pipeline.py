@@ -176,6 +176,48 @@ def pipeline_apply(block_fn: Callable, stacked_params, x: jnp.ndarray,
                                microbatches)(x)
 
 
+# ------------------------------------------------- differentiable forward
+def make_pipeline_forward(block_fn: Callable, mesh: Mesh, n_blocks: int,
+                          microbatches: int) -> Callable:
+    """The pipelined stack forward as a DIFFERENTIABLE jit-level function
+    ``fwd(stacked_params, xm) -> outs`` with ``xm`` (M, mb, ...) and
+    ``outs`` (M, mb, ...) = block_fn folded n_blocks times over each
+    microbatch.
+
+    Unlike :func:`make_pipeline_value_and_grad` (loss inside the
+    shard_map), this returns the stack OUTPUT, so a caller can compose an
+    arbitrary jit-level model around it — stem before, head/loss after —
+    and differentiate the whole thing: AD through the shard_map transposes
+    the ppermute ring into the reverse pipeline schedule, and the
+    stacked-params cotangent lands stage-local (P("pipe")); replicated
+    (invariant) inputs like xm or stem parameters get their cross-stage
+    cotangent psum inserted by vma-typed AD. This is what cli.train_stack
+    builds the real training mode on."""
+    if PIPE_AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no '{PIPE_AXIS}' "
+                         f"axis: use make_pipe_mesh")
+    n_stages = int(mesh.shape[PIPE_AXIS])
+    if n_blocks % n_stages:
+        raise ValueError(f"{n_blocks} blocks not divisible by "
+                         f"{n_stages} pipeline stages")
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    fwd_body = _make_fwd_body(block_fn, n_stages, perm)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(PIPE_AXIS), P()),
+        out_specs=P(PIPE_AXIS))
+    def run(params_mine, xm):
+        return fwd_body(params_mine, xm)[None]
+
+    def fwd(stacked_params, xm):
+        # only the LAST stage's buffer holds real microbatch outputs; the
+        # index-select seeds zero cotangents into the bubble buffers
+        return run(stacked_params, xm)[-1]
+
+    return fwd
+
+
 # --------------------------------------------------------- GPipe training
 def make_pipeline_value_and_grad(block_fn: Callable, loss_fn: Callable,
                                  mesh: Mesh, n_blocks: int,

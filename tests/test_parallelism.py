@@ -73,8 +73,17 @@ def test_parse_strategy_errors():
         par.validate_plan(par.Plan(tp=2), use_pfc=True)
     with pytest.raises(ValueError, match="dcn-slices"):
         par.validate_plan(par.Plan(gspmd=True, slices=2))
-    with pytest.raises(ValueError, match="single-process"):
-        par.validate_plan(par.Plan(tp=2), multihost=True)
+    # multihost composes with the GSPMD family since r5
+    # (tests/test_multihost_gspmd.py proves it with real processes)
+    par.validate_plan(par.Plan(tp=2), multihost=True)
+    with pytest.raises(ValueError, match="pp:N"):
+        par.parse_strategy("pp")
+    with pytest.raises(ValueError, match="does not compose"):
+        par.validate_plan(par.Plan(pp=2, fsdp=True))
+    with pytest.raises(ValueError, match="train_stack"):
+        par.init_state(par.Plan(pp=2), None, None, None, None)
+    assert par.Plan(pp=4).family == "pipe"
+    assert "pp:4" in par.Plan(pp=4).describe()
     # every shard_map composition is valid
     par.validate_plan(par.Plan(fsdp=True, slices=2), use_pfc=True)
 
