@@ -24,7 +24,6 @@ from msml_tpu.core import checkpoint as ckpt
 from msml_tpu.core.config import (Config, config_init, default_config,
                                   load_yaml, lr_step_factor)
 from msml_tpu.core.logging import AverageMeter, ThroughputLogger, init_logging
-from msml_tpu.core.mesh import make_mesh
 from msml_tpu.core.precision import policy_from_config
 from msml_tpu.data.pipeline import device_prefetch
 from msml_tpu.data.synthetic import SyntheticDataset
@@ -142,14 +141,6 @@ def _main_inner(args, preempted):
     if jax.process_index() != 0:
         import logging
         logger.setLevel(logging.WARNING)
-    mesh = make_mesh(num_slices=max(int(args.dcn_slices), 0))
-    from msml_tpu.core.mesh import mesh_world
-    world = mesh_world(mesh)
-    local_world = jax.local_device_count()
-    logger.info("mesh: %d devices / %d processes (%s); config: %s"
-                % (world, jax.process_count(), jax.devices()[0].platform,
-                   dict(cfg)))
-
     use_pfc = float(cfg.get("sample_rate", 1.0)) < 1.0 or bool(
         cfg.get("use_partial_fc", False))
     # One composable parallelism surface (core/parallelism.py): CLI
@@ -164,10 +155,16 @@ def _main_inner(args, preempted):
                           multihost=jax.process_count() > 1)
     except ValueError as e:
         raise SystemExit(str(e))
-    if plan.family == "gspmd" or plan.tp > 1:
-        # GSPMD strategies build their own mesh shape (data[, model])
-        mesh = par.build_mesh(plan)
-        world = mesh_world(mesh)
+    # ONE mesh construction for every family, honoring the plan's slices
+    # whether they came from --dcn-slices or the yaml parallelism block
+    mesh = par.build_mesh(plan)
+    from msml_tpu.core.mesh import mesh_world
+    world = mesh_world(mesh)
+    local_world = jax.local_device_count()
+    logger.info("mesh: %d devices / %d processes (%s); strategy %s; "
+                "config: %s"
+                % (world, jax.process_count(), jax.devices()[0].platform,
+                   plan.describe(), dict(cfg)))
     policy = policy_from_config(bool(cfg.get("fp16", True)))
     model = msml_from_config(cfg, policy=policy, external_header=use_pfc)
     pfc = None
@@ -231,17 +228,29 @@ def _main_inner(args, preempted):
     multihost = jax.process_count() > 1
     ver_prepare_fn = None
     if multihost:
-        # process-local eval on host copies of the (replicated) params so
-        # rank 0 can verify without a pod-wide collective program; the
-        # params are snapshotted to host ONCE per verification round (via
-        # prepare_fn) rather than re-fetched on every eval batch
+        # process-local eval on host copies of the params so rank 0 can
+        # verify without a pod-wide collective program; the params are
+        # snapshotted to host ONCE per verification round (via prepare_fn)
+        # rather than re-fetched on every eval batch. Sharded layouts
+        # (fsdp / tp) hold non-addressable shards, which device_get
+        # rejects — replicate through a tiny jit first (a no-op for the
+        # already-replicated shard_map layout)
+        from jax.sharding import NamedSharding, PartitionSpec
+        _repl = NamedSharding(mesh, PartitionSpec())
+
+        def _to_host(tree):
+            rep = jax.jit(lambda t: t,
+                          out_shardings=jax.tree.map(lambda _: _repl,
+                                                     tree))(tree)
+            return jax.device_get(rep)
+
         local_eval = jax.jit(lambda p, s, img: model.apply(
             {"params": p, "batch_stats": s}, img, train=False)[0])
         _ver_snap = {}
 
         def ver_prepare_fn():
-            _ver_snap["p"] = jax.device_get(state.params)
-            _ver_snap["s"] = jax.device_get(state.batch_stats)
+            _ver_snap["p"] = _to_host(state.params)
+            _ver_snap["s"] = _to_host(state.batch_stats)
 
         def extract_fn(img_np):
             return np.asarray(local_eval(_ver_snap["p"], _ver_snap["s"],

@@ -132,7 +132,7 @@ def pin_first_call_jit(step_fn, mesh: Mesh, scan_steps: int = 1,
     else:
         run_fn, b_sh = step_fn, batch_sh
 
-    def bound(state, batch, lr_factor, rng):
+    def _build(state, batch):
         nonlocal _jit
         if _jit is None:
             state_sh = jax.tree.map(lambda x: x.sharding, state)
@@ -142,6 +142,21 @@ def pin_first_call_jit(step_fn, mesh: Mesh, scan_steps: int = 1,
                               jax.tree.map(lambda _: b_sh, batch),
                               repl, repl),
                 out_shardings=(state_sh, {k: repl for k in METRIC_KEYS}))
-        return _jit(state, batch, jnp.asarray(lr_factor, jnp.float32), rng)
+        return _jit
 
+    def bound(state, batch, lr_factor, rng):
+        return _build(state, batch)(state, batch,
+                                    jnp.asarray(lr_factor, jnp.float32),
+                                    rng)
+
+    def precompile(state, batch_abstract, rng):
+        """AOT-compile without executing (multihost runs compile first,
+        then meet at a coordinator barrier, THEN execute — so slow ranks
+        never time out a collective while a peer still compiles).
+        ``batch_abstract``: a pytree of jax.ShapeDtypeStruct."""
+        _build(state, batch_abstract).lower(
+            state, batch_abstract, jnp.asarray(1.0, jnp.float32),
+            rng).compile()
+
+    bound.precompile = precompile
     return bound
