@@ -116,28 +116,47 @@ def main():
         wflip = cg.pack_weights(cg.flip_weights(w))
 
         # one-time parity proof on-device (f32 reference via XLA)
-        ok = check("fwd", cg.from_lanes(
-            cg.conv3x3_lanes(xt, wcat, hw, rows=28), bt), conv(x, w), 2e-2)
-        ok &= check("dx", cg.from_lanes(
-            cg.conv3x3_lanes(dyt_p, wflip, hw, rows=28), bt),
-            dx_fn(dy, w), 2e-2)
-        ok &= check("dw", cg.unpack_dw(
-            cg.conv3x3_dw_lanes(xt, dyt, hw, rows=28), Ci, Co),
-            dw_fn(dy, x), 2e-2)
-        row["parity_ok"] = bool(ok)
+        try:
+            ok = check("fwd", cg.from_lanes(
+                cg.conv3x3_lanes(xt, wcat, hw, rows=28), bt),
+                conv(x, w), 2e-2)
+            ok &= check("dx", cg.from_lanes(
+                cg.conv3x3_lanes(dyt_p, wflip, hw, rows=28), bt),
+                dx_fn(dy, w), 2e-2)
+            ok &= check("dw", cg.unpack_dw(
+                cg.conv3x3_dw_lanes(xt, dyt, hw, rows=28), Ci, Co),
+                dw_fn(dy, x), 2e-2)
+            row["parity_ok"] = bool(ok)
+        except Exception as e:
+            print(f"  parity run failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}")
+            row["parity_ok"] = False
+            results[tag] = row
+            continue
 
-        rows_cands = [args.rows] if args.rows else [14, 28, 56]
+        rows_cands = [args.rows] if args.rows else [8, 14, 28, 56]
         best = None
         for R in rows_cands:
             if hw % R:
                 continue
-            f_ms = timed(lambda a, b: cg.conv3x3_lanes(a, b, hw, rows=R),
-                         xt, wcat, iters=args.iters)
-            d_ms = timed(lambda a, b: cg.conv3x3_dw_lanes(a, b, hw, rows=R),
-                         xt, dyt, iters=args.iters)
+            try:
+                f_ms = timed(
+                    lambda a, b: cg.conv3x3_lanes(a, b, hw, rows=R),
+                    xt, wcat, iters=args.iters)
+                d_ms = timed(
+                    lambda a, b: cg.conv3x3_dw_lanes(a, b, hw, rows=R),
+                    xt, dyt, iters=args.iters)
+            except Exception as e:  # e.g. VMEM overflow at large rows
+                print(f"  rows={R}: failed ({type(e).__name__}: "
+                      f"{str(e)[:200]})")
+                continue
             print(f"  rows={R}: pallas fwd {f_ms:.3f} ms, dw {d_ms:.3f} ms")
             if best is None or f_ms < best[1]:
                 best = (R, f_ms, d_ms)
+        if best is None:
+            print("  all Pallas variants failed to compile/run; skipping")
+            results[tag] = row
+            continue
         R, f_ms, d_ms = best
         row.update(pallas_rows=R, pallas_fwd_ms=round(f_ms, 3),
                    pallas_dx_ms=round(f_ms, 3),  # same kernel, flipped W

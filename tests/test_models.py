@@ -179,3 +179,27 @@ def test_selective_remat_preserves_semantics():
         d_full = float(jnp.max(jnp.abs(fu - pl))) / scale
         d_sel = float(jnp.max(jnp.abs(se - pl))) / scale
         assert d_sel <= 2.0 * d_full + 1e-4, (d_sel, d_full)
+
+
+@pytest.mark.slow
+def test_width_mult_doubles_frb_channels():
+    """width_mult=2 (the TPU capacity dividend, PERF.md r4): every FRB
+    stage doubles its channel width, FM operators follow, the embedding
+    contract is unchanged, and train/eval forwards run."""
+    model = MSML(frb_type="iresnet18", use_osb=True, fm_layers=(1, 1, 1, 1),
+                 fm_params=(3, 2, "sigmoid", "mul"), num_classes=16,
+                 width_mult=2, policy=FULL_PRECISION)
+    x = jnp.zeros((2, 112, 112, 3), jnp.float32)
+    label = jnp.zeros((2,), jnp.int32)
+    v = model.init({"params": KEY, "dropout": KEY}, x, label, None,
+                   train=True)
+    k1 = v["params"]["frb"]["layer1"]["block0"]["conv1"]["kernel"]
+    assert k1.shape == (3, 3, 128, 128), k1.shape
+    k4 = v["params"]["frb"]["layer4"]["block0"]["conv1"]["kernel"]
+    assert k4.shape[-1] == 1024, k4.shape
+    (cls, seg, kd), _ = model.apply(v, x, label, None, train=True,
+                                    rngs={"dropout": KEY},
+                                    mutable=["batch_stats", "losses"])
+    assert cls.shape == (2, 16) and seg.shape[-1] == 2
+    feat, _ = model.apply(v, x, train=False)
+    assert feat.shape == (2, 512)   # embedding contract unchanged
