@@ -26,15 +26,28 @@ TUNED_FLAGS = (
 
 def apply_tuned_flags() -> str:
     """Append tuned flags to LIBTPU_INIT_ARGS (idempotent; user-set values
-    win). Returns the resulting value."""
+    win) and enable the persistent compilation cache (remote TPU compiles
+    cost 3-30 min; every CLI entry point should reuse them across runs —
+    r5 fix: previously only bench/tests set the cache, so cli.train paid
+    a cold compile every launch). Returns the resulting flag value."""
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
-    if os.environ.get("MSML_NO_TUNED_FLAGS") == "1":
-        return cur
-    present = {t.split("=", 1)[0] for t in cur.split()}
-    add = [f for f in TUNED_FLAGS if f.split("=", 1)[0] not in present]
-    if add:
-        cur = (cur + " " + " ".join(add)).strip()
-        os.environ["LIBTPU_INIT_ARGS"] = cur
+    if os.environ.get("MSML_NO_TUNED_FLAGS") != "1":
+        present = {t.split("=", 1)[0] for t in cur.split()}
+        add = [f for f in TUNED_FLAGS if f.split("=", 1)[0] not in present]
+        if add:
+            cur = (cur + " " + " ".join(add)).strip()
+            os.environ["LIBTPU_INIT_ARGS"] = cur
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                flag_cache_dir(os.environ.get("MSML_COMPILE_CACHE",
+                                              "/tmp/msml_jax_cache_tpu")))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              5.0)
+    except Exception:
+        pass  # cache is an optimization; never block startup on it
     return cur
 
 
