@@ -78,6 +78,12 @@ CHILD = textwrap.dedent("""
     pid = int(sys.argv[1])
     jax.distributed.initialize(coordinator_address=sys.argv[2],
                                num_processes=2, process_id=pid)
+    # establish the CPU Gloo context NOW, while the ranks are still in
+    # lock-step: on a loaded 1-core box the first implicit collective
+    # (device_put's cross-host assert_equal during init) can otherwise be
+    # reached >30 s apart and time out the Gloo context creation
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("mhg_start")
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as SpecP
