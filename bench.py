@@ -79,6 +79,10 @@ VARIANTS = {
                       {"kd_metric": False}),
     # scale config (BASELINE.json config 4): ir100 + sampled PartialFC
     "ir100_pfc": ("configs/ir100_pfc.yaml", {}),
+    # the width dividend (PERF.md r4/r5): flagship at 2x channel width —
+    # the non-parity capacity knob the channel-pad experiment predicted
+    # costs ~1.1x step time on the idle C=64 MXU lanes
+    "wide2": ("configs/arc18_msml.yaml", {"width_mult": 2}),
 }
 
 
