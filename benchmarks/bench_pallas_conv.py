@@ -115,7 +115,9 @@ def main():
         wcat = cg.pack_weights(w)
         wflip = cg.pack_weights(cg.flip_weights(w))
 
-        # one-time parity proof on-device (f32 reference via XLA)
+        # one-time parity proof on-device (f32 reference via XLA).
+        # fwd/dX and dW are INDEPENDENT kernels — a dW failure must not
+        # block timing the forward family (r5 first run: exactly that).
         try:
             ok = check("fwd", cg.from_lanes(
                 cg.conv3x3_lanes(xt, wcat, hw, rows=28), bt),
@@ -123,16 +125,21 @@ def main():
             ok &= check("dx", cg.from_lanes(
                 cg.conv3x3_lanes(dyt_p, wflip, hw, rows=28), bt),
                 dx_fn(dy, w), 2e-2)
-            ok &= check("dw", cg.unpack_dw(
-                cg.conv3x3_dw_lanes(xt, dyt, hw, rows=28), Ci, Co),
-                dw_fn(dy, x), 2e-2)
             row["parity_ok"] = bool(ok)
         except Exception as e:
-            print(f"  parity run failed: {type(e).__name__}: "
+            print(f"  fwd/dx parity run failed: {type(e).__name__}: "
                   f"{str(e)[:300]}")
             row["parity_ok"] = False
             results[tag] = row
             continue
+        try:
+            row["dw_parity_ok"] = bool(check("dw", cg.unpack_dw(
+                cg.conv3x3_dw_lanes(xt, dyt, hw, rows=28), Ci, Co),
+                dw_fn(dy, x), 2e-2))
+        except Exception as e:
+            print(f"  dw parity run failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}")
+            row["dw_parity_ok"] = False
 
         rows_cands = [args.rows] if args.rows else [8, 14, 28, 56]
         best = None
@@ -143,13 +150,20 @@ def main():
                 f_ms = timed(
                     lambda a, b: cg.conv3x3_lanes(a, b, hw, rows=R),
                     xt, wcat, iters=args.iters)
-                d_ms = timed(
-                    lambda a, b: cg.conv3x3_dw_lanes(a, b, hw, rows=R),
-                    xt, dyt, iters=args.iters)
             except Exception as e:  # e.g. VMEM overflow at large rows
-                print(f"  rows={R}: failed ({type(e).__name__}: "
+                print(f"  rows={R}: fwd failed ({type(e).__name__}: "
                       f"{str(e)[:200]})")
                 continue
+            d_ms = float("nan")
+            if row.get("dw_parity_ok"):
+                try:
+                    d_ms = timed(
+                        lambda a, b: cg.conv3x3_dw_lanes(a, b, hw,
+                                                         rows=R),
+                        xt, dyt, iters=args.iters)
+                except Exception as e:
+                    print(f"  rows={R}: dw failed ({type(e).__name__}: "
+                          f"{str(e)[:200]})")
             print(f"  rows={R}: pallas fwd {f_ms:.3f} ms, dw {d_ms:.3f} ms")
             if best is None or f_ms < best[1]:
                 best = (R, f_ms, d_ms)
@@ -170,7 +184,11 @@ def main():
 
         row["fwd_speedup"] = round(row["xla_fwd_ms"] / row["pallas_fwd_ms"],
                                    3)
-        row["dw_speedup"] = round(row["xla_dw_ms"] / row["pallas_dw_ms"], 3)
+        import math
+        row["dw_speedup"] = (round(row["xla_dw_ms"] / row["pallas_dw_ms"],
+                                   3)
+                             if not math.isnan(row["pallas_dw_ms"])
+                             else None)
         row["fwd_speedup_with_layout"] = round(
             row["xla_fwd_ms"] / row["pallas_fwd_with_layout_ms"], 3)
         row["pallas_fwd_tflops"] = round(

@@ -195,8 +195,12 @@ def _dw_kernel(xt_ref, dyt_ref, out_ref, slab, dslab, sem, *, rows, W, Co,
         d0 = jnp.where(m_right, pltpu.roll(d, L - 1, 1), 0.0)  # dx=0
         d2 = jnp.where(m_left, pltpu.roll(d, 1, 1), 0.0)     # dx=2
         d3 = jnp.concatenate([d0, d, d2], axis=0)            # [3Co, L]
+        # standard [M,K]@[K,N] form (the both-lanes-contracting
+        # dot_general form fails to lower in Mosaic): transpose D3 once
+        # per row — a [3Co, L] -> [L, 3Co] relayout, small next to the
+        # K=L GEMM it feeds
         return acc + jax.lax.dot_general(
-            s, d3, (((1,), (1,)), ((), ())),
+            s, d3.T, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [3Ci, 3Co]
 
     acc = jax.lax.fori_loop(
