@@ -21,11 +21,15 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
+import sys
 import threading
 import time
 import urllib.request
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _healthz(url: str) -> dict:
