@@ -1,4 +1,4 @@
-"""A/B: Pallas implicit-GEMM conv (kernels/conv_gemm.py) vs XLA's
+"""A/B: Pallas implicit-GEMM conv (benchmarks/negative/conv_gemm.py) vs XLA's
 lowering at the C=64 hot shapes (VERDICT r4 #1 — the one restructuring
 family never measured; every XLA-level rewrite was falsified r2-r4).
 
@@ -36,7 +36,9 @@ apply_tuned_flags()
 jax.config.update("jax_compilation_cache_dir",
                   flag_cache_dir("/tmp/msml_jax_cache_tpu"))
 
-from msml_tpu.kernels import conv_gemm as cg  # noqa: E402
+_NEG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "negative")
+sys.path.insert(0, _NEG)
+import conv_gemm as cg  # noqa: E402  (archived negative; see PERF.md r5)
 
 B = 128
 

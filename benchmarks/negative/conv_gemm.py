@@ -36,8 +36,25 @@ D3[(dx,co),l] with D3 the lane-shift-masked dY row).
 Reference conv sites this targets: /root/reference/backbones/frb/
 iresnet.py:38-67 (BasicBlock conv1/conv2 at C=64).
 
-Measured A/B vs XLA's lowering: benchmarks/bench_pallas_conv.py,
-PERF.md round 5.
+VERDICT (round 5, measured on the chip — benchmarks/bench_pallas_conv.py,
+artifact benchmarks/results/pallas_conv_ab_r5.json): **FALSIFIED**.
+fwd/dX are numerically correct on hardware (bf16-level parity, max rel
+2.3e-3) but run at 0.246x XLA at 112^2 (3.28 vs 0.81 ms) and 0.705x at
+56^2 (1.26 vs 0.89 ms); with the NHWC<->lanes conversion included,
+0.13x/0.38x. The dW kernel fails to lower in Mosaic (remote-compile 500)
+in both the both-lanes-contracting and transposed-standard forms. Root
+cause of the loss: the formulation is row-serial — each output row is one
+[192,192]x[192,896] dot (66 MFLOP) chained through VPU rolls/masks/
+stores, so instruction issue and the scan carry, not the MXU, bound
+throughput (36 TF/s achieved; the same chip runs XLA's lowering at
+146 TF/s on this op and 509 TF/s at C=128). This closes the LAST
+restructuring family for the C=64 lane-underfill (after s2d, grouped,
+sub-pixel, channel-pad, fused-PReLU, r2-r4): the flagship number stands
+on XLA's conv lowering by measurement across every family.
+
+Archived out of the package per the negative-results policy
+(benchmarks/negative/README.md); interpret-mode correctness tests keep
+it honest (test_conv_gemm.py).
 """
 
 from __future__ import annotations
