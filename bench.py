@@ -79,10 +79,12 @@ VARIANTS = {
                       {"kd_metric": False}),
     # scale config (BASELINE.json config 4): ir100 + sampled PartialFC
     "ir100_pfc": ("configs/ir100_pfc.yaml", {}),
-    # the width dividend (PERF.md r4/r5): flagship at 2x channel width —
-    # the non-parity capacity knob the channel-pad experiment predicted
-    # costs ~1.1x step time on the idle C=64 MXU lanes
+    # the width dividend (PERF.md r5): uniform 2x width measured 2.43x
+    # step cost (deep stages are already lane-full and scale
+    # quadratically); the honest dividend widens ONLY the underfilled
+    # C=64 stage — wide_l1 below
     "wide2": ("configs/arc18_msml.yaml", {"width_mult": 2}),
+    "wide_l1": ("configs/arc18_msml.yaml", {"width_mult": [2, 1, 1, 1]}),
 }
 
 

@@ -84,6 +84,16 @@ class ResStage(nn.Module):
         return x
 
 
+def stage_width_mults(width_mult) -> tuple:
+    """Normalize the width_mult knob: int -> uniform, 4-sequence ->
+    per-stage (stem follows stage 1)."""
+    if isinstance(width_mult, (list, tuple)):
+        if len(width_mult) != 4:
+            raise ValueError("width_mult list must have 4 entries")
+        return tuple(int(w) for w in width_mult)
+    return (int(width_mult),) * 4
+
+
 class IResNet(nn.Module):
     """FRB iResNet with per-stage FM-operator hooks (`iresnet.py:70-236`).
 
@@ -99,13 +109,17 @@ class IResNet(nn.Module):
     fm_ops: Sequence[nn.Module] = ()
     use_decoder: bool = False
     decoder_loss_weight: float = 0.0
-    width_mult: int = 1  # channel-width multiplier (TPU capacity dividend,
-    #                      PERF.md r4 channel-pad finding: on v5e the C=64
-    #                      stages leave half the MXU lanes idle, so 2x width
-    #                      costs ~1.1x step time — an accuracy knob the GPU
-    #                      reference could never afford. width_mult > 1 is a
-    #                      documented NON-PARITY variant (reference
-    #                      iresnet.py:70-236 is fixed-width)
+    width_mult: object = 1  # channel-width multiplier — int (all stages)
+    #                      or a 4-list of per-stage multipliers, e.g.
+    #                      [2,1,1,1] widens ONLY the C=64 stage riding the
+    #                      idle MXU lanes (the TPU capacity dividend,
+    #                      PERF.md r5: uniform 2x costs 2.43x step time
+    #                      because the deep, already-lane-full stages scale
+    #                      quadratically; stage-1-only 2x is the nearly-free
+    #                      variant the channel-pad data predicts). Any
+    #                      width_mult != 1 is a documented NON-PARITY
+    #                      variant (reference iresnet.py:70-236 is
+    #                      fixed-width)
     remat: object = False  # rematerialize stages: trade recompute FLOPs for
     #                        activation HBM traffic. True = all 4 stages;
     #                        a sequence of stage numbers (e.g. (3, 4)) remats
@@ -122,13 +136,13 @@ class IResNet(nn.Module):
         cdt = self.policy.compute_dtype
         x = x.astype(cdt)
 
-        wm = int(self.width_mult)
-        x = conv3x3(64 * wm, 1, dtype=cdt, name="conv1")(x)
+        wm = stage_width_mults(self.width_mult)
+        x = conv3x3(64 * wm[0], 1, dtype=cdt, name="conv1")(x)
         x = batch_norm(train, cdt, name="bn1")(x)
         x = PReLU(cdt, name="prelu")(x)
 
         remat_stages = remat_stage_set(self.remat)
-        planes = (64 * wm, 128 * wm, 256 * wm, 512 * wm)
+        planes = (64 * wm[0], 128 * wm[1], 256 * wm[2], 512 * wm[3])
         kd_losses = []
         for i in range(4):
             stage_cls = (nn.remat(ResStage, static_argnums=(2,))

@@ -66,9 +66,10 @@ class MSML(nn.Module):
     # remats only those FRB stages (OSB stays un-rematted then)
     remat: object = False
     remat_fm: bool = False
-    width_mult: int = 1  # FRB channel-width multiplier (iresnet only; a
-    #                      documented non-parity capacity knob — see
-    #                      nn/iresnet.py and PERF.md "width dividend")
+    width_mult: object = 1  # FRB channel-width multiplier — int or 4-list
+    #                      per stage (iresnet only; a documented non-parity
+    #                      capacity knob — nn/iresnet.py, PERF.md "width
+    #                      dividend")
     kd_metric: bool = True  # False: skip the KD-metric-only conv2 tower
     #                         (legal when kd_loss_weight == 0; see nn/fm.py)
     policy: Policy = DEFAULT_POLICY
@@ -85,11 +86,13 @@ class MSML(nn.Module):
         self.input_size, self.gray = input_size, gray
         self.dim_feature = dim_feature
 
-        wm = int(self.width_mult)
-        if wm > 1:
+        from msml_tpu.nn.iresnet import stage_width_mults
+        wm = self.width_mult
+        wms = stage_width_mults(wm)
+        if any(w != 1 for w in wms):
             if "lightcnn" in self.frb_type:
-                raise ValueError("width_mult > 1 is an iresnet-FRB knob")
-            f_channels = tuple(c * wm for c in f_channels)
+                raise ValueError("width_mult != 1 is an iresnet-FRB knob")
+            f_channels = tuple(c * w for c, w in zip(f_channels, wms))
 
         kernel_size, num_res, act, arith = self.fm_params
         # remat_fm: rematerialize only the FM operators in the backward —
@@ -213,7 +216,9 @@ def msml_from_config(cfg, policy: Policy | None = None,
         external_header=external_header,
         remat=cfg.get("remat", False),
         remat_fm=bool(cfg.get("remat_fm", False)),
-        width_mult=int(cfg.get("width_mult", 1)),
+        width_mult=(tuple(cfg["width_mult"])
+                    if isinstance(cfg.get("width_mult"), (list, tuple))
+                    else int(cfg.get("width_mult", 1))),
         kd_metric=_check_kd_metric(cfg),
         policy=policy,
     )
