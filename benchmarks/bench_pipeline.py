@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--micro", type=int, default=8)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--classes", type=int, default=1000)
     ap.add_argument("--out-json", type=str, default="")
     args = ap.parse_args()
 
@@ -65,14 +66,14 @@ def main():
                         "mask_trans": "conv", "use_decoder": False},
         "header_type": "AMCosFace", "header_params": [64.0, 0.4, 0.0, 0.0],
         "exp_id": 0, "output_prefix": "bpp", "out_folder": "/tmp",
-        "num_classes": 1000, "stack_blocks": args.blocks,
+        "num_classes": args.classes, "stack_blocks": args.blocks,
         "stack_planes": 256})
     config_init(cfg, make_output_dir=False)
-    cfg.num_classes = 1000
+    cfg.num_classes = args.classes
     rng = jax.random.PRNGKey(0)
     npr = np.random.RandomState(0)
     batch = {"img": npr.randn(args.batch, 112, 112, 3).astype(np.float32),
-             "label": npr.randint(0, 1000, args.batch).astype(np.int32)}
+             "label": npr.randint(0, args.classes, args.batch).astype(np.int32)}
     out = {"blocks": args.blocks, "planes": 256, "batch": args.batch,
            "note": "8-virtual-device CPU mesh; memory numbers exact, "
                    "times are a CPU proxy"}
